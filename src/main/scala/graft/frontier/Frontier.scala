@@ -1,0 +1,275 @@
+package graft.frontier
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.model._
+
+/** Set-at-a-time restatements of the reference scheduler's per-task logic
+  * (SURVEY §2.2/§2.3). Every function is a pure Dataset transformation —
+  * no driver-side loops over rows, no wall clock.
+  */
+object Frontier {
+
+  /** The engine's documented deterministic total order (SURVEY §7 step 3):
+    * (priority DESC, exetime ASC, seq ASC, taskid ASC). `seq` is the round
+    * the row entered the frontier — the set-at-a-time analog of the
+    * reference heap's FIFO insertion order (scheduler/task_queue.py:27-47).
+    */
+  def selectOrder: Seq[Column] = Seq(
+    col("eff_priority").desc, col("schedule.exetime").asc,
+    col("seq").asc, col("taskid").asc)
+
+  /** O2 — depth→priority policy (scheduler/scheduler.py:165-174,231-242):
+    * BFS (-depth) when the project has a depth_limit, else schedule.priority.
+    */
+  def withEffectivePriority(df: DataFrame, depthLimit: Int): DataFrame =
+    df.withColumn("eff_priority",
+      if (depthLimit != -1) -col("depth") else col("schedule.priority"))
+
+  /** O3 — due filter (task_queue.py:114-159): rows whose exetime has come.
+    * Not-due rows simply stay in the frontier untouched. */
+  def due(live: Dataset[Task], now: Double): Dataset[Task] =
+    live.filter(col("status") === Status.Active && col("schedule.exetime") <= now)
+
+  /** O4 — processing-timeout requeue (task_queue.py:119,161-171): selected
+    * rows that never reported a status within `timeout` go back to ACTIVE
+    * (at-least-once). */
+  def reactivateTimeouts(live: Dataset[Task], now: Double, timeout: Double)
+                        (implicit spark: SparkSession): Dataset[Task] = {
+    import spark.implicits._
+    live.map { t =>
+      if (t.status == Status.Processing && t.selected_at < now - timeout)
+        t.copy(status = Status.Active)
+      else t
+    }
+  }
+
+  /** Robots gate (north-rule scope; the reference has no robots handling —
+    * SURVEY §2 preamble). `rules` is small ((host, prefixes) per host) and
+    * broadcast. Disallowed rows are marked BAD once so they never clog
+    * selection. */
+  def applyRobots(live: Dataset[Task], rules: DataFrame)
+                 (implicit spark: SparkSession): Dataset[Task] = {
+    import spark.implicits._
+    live.join(broadcast(rules), Seq("host"), "left_outer")
+      .withColumn("path_part",
+        regexp_replace(col("url"), "^[a-z]+://[^/]*", ""))
+      .withColumn("robots_denied",
+        coalesce(exists(col("disallow_prefixes"),
+          p => col("path_part").startsWith(p)), lit(false)))
+      .withColumn("status",
+        when(col("robots_denied") && col("status") === Status.Active,
+          lit(Status.Bad)).otherwise(col("status")))
+      .drop("disallow_prefixes", "path_part", "robots_denied")
+      .as[Task]
+  }
+
+  /** O5/O6/O7 — budgeted, politeness-aware selection.
+    *
+    * Token buckets are evaluated in closed form per round
+    * (token_bucket.py:33-47: `tokens' = min(burst, tokens + rate*dt)`), so
+    * budgets are plain columns and admission is a per-host / per-project
+    * `row_number` over the documented total order — the set-at-a-time
+    * equivalent of the reference's heap + bucket loop
+    * (scheduler.py:244-261,390-431).
+    *
+    * AT SCALE: the host window is the skew point (one hot domain = one hot
+    * partition). The window only ranks rows *up to the budget*; we pre-trim
+    * with a cheap salted partial rank so the hot host's millions of pending
+    * rows never hit a single partition — see `saltedHostRank`.
+    *
+    * @param hostTokens  (host, tokens) carry table — may be empty
+    * @param projTokens  (project, tokens) carry table — may be empty
+    */
+  def select(dueTasks: DataFrame, cfg: ProjectConfig, dt: Double,
+             hostTokens: DataFrame, projTokens: DataFrame): DataFrame = {
+    val hostBudget = least(lit(cfg.hostBurst),
+      coalesce(col("host_tokens"), lit(cfg.hostBurst)) + lit(cfg.hostRate * dt))
+    val projBudget = least(lit(cfg.burst),
+      coalesce(col("proj_tokens"), lit(cfg.burst)) + lit(cfg.rate * dt))
+    val perProjectCap = math.max(1, cfg.loopLimit / 10) // scheduler.py:419
+
+    val ranked = withEffectivePriority(dueTasks, cfg.depthLimit)
+      .join(broadcast(hostTokens.withColumnRenamed("tokens", "host_tokens")),
+        Seq("host"), "left_outer")
+      .join(broadcast(projTokens.withColumnRenamed("tokens", "proj_tokens")),
+        Seq("project"), "left_outer")
+      .withColumn("host_rank",
+        row_number().over(Window.partitionBy("host").orderBy(selectOrder: _*)))
+      .withColumn("proj_rank",
+        row_number().over(Window.partitionBy("project").orderBy(selectOrder: _*)))
+
+    ranked
+      .filter(col("host_rank") <= floor(hostBudget) &&
+        col("proj_rank") <= least(floor(projBudget), lit(perProjectCap)))
+      .orderBy(selectOrder: _*)
+      .limit(cfg.loopLimit) // global LOOP_LIMIT cap (scheduler.py:38)
+      .drop("host_rank", "proj_rank", "host_tokens", "proj_tokens", "eff_priority")
+  }
+
+  /** Post-selection token consumption: the carry for the next round.
+    * `tokens' = clamp(tokens + rate*dt - consumed, 0, burst)`. */
+  def consumedTokens(selected: DataFrame, key: String, prev: DataFrame,
+                     rate: Double, burst: Double, dt: Double): DataFrame = {
+    selected.groupBy(key).agg(count(lit(1)).as("consumed"))
+      .join(prev, Seq(key), "full_outer")
+      .select(col(key),
+        least(lit(burst),
+          greatest(lit(0.0),
+            coalesce(col("tokens"), lit(burst)) + lit(rate * dt) -
+              coalesce(col("consumed"), lit(0)))).as("tokens"))
+  }
+
+  /** D1/D5/D6 — in-batch candidate merge: one row per (project, taskid) with
+    * max(priority), min(exetime), OR(force_update), min(depth)
+    * (base_handler.py:357-360; task_queue.py:64-78; scheduler.py:286-311). */
+  def mergeCandidates(cands: Dataset[Task])(implicit spark: SparkSession): Dataset[Task] = {
+    import spark.implicits._
+    cands.groupByKey(t => (t.project, t.taskid)).reduceGroups { (a, b) =>
+      val hi =
+        if (a.schedule.priority > b.schedule.priority ||
+            (a.schedule.priority == b.schedule.priority && a.depth <= b.depth)) a else b
+      hi.copy(
+        depth = math.min(a.depth, b.depth),
+        schedule = hi.schedule.copy(
+          priority = math.max(a.schedule.priority, b.schedule.priority),
+          exetime = math.min(a.schedule.exetime, b.schedule.exetime),
+          force_update = a.schedule.force_update || b.schedule.force_update))
+    }.map(_._2)
+  }
+
+  /** D2/D3/D4 — merge candidates into the live frontier + archived seen-set.
+    *
+    * The reference's per-task point-get + on_new/on_old branch
+    * (scheduler.py:318-327,724-773) becomes ONE set-oriented pass:
+    * full-outer join live vs candidates (the MERGE), plus a left join of the
+    * remaining new candidates against the archive's latest row per key to
+    * decide insert vs re-crawl vs drop.
+    *
+    * `archiveLatest` must hold at most one row per (project, taskid) —
+    * see [[SeenSet.latest]].
+    *
+    * Returns the new live set (old rows + restarted rows + inserts).
+    */
+  def mergeIntoLive(live: Dataset[Task], cands: Dataset[Task],
+                    archiveLatest: Dataset[Task], now: Double, round: Long,
+                    depthLimit: Int)(implicit spark: SparkSession): Dataset[Task] = {
+    import spark.implicits._
+
+    def restartWanted(old: Task, nw: Task): Boolean = {
+      val itagChanged = nw.schedule.itag != null && nw.schedule.itag != old.schedule.itag
+      val ageExpired = old.schedule.age >= 0 && old.lastcrawltime + old.schedule.age < now
+      itagChanged || ageExpired || nw.schedule.force_update
+    }
+    // D4 restart (scheduler.py:737-773): ACTIVE again, depth = min(old, new),
+    // schedule replaced by the new task's, track/lastcrawltime preserved.
+    def restart(old: Task, nw: Task): Task = nw.copy(
+      status = Status.Active,
+      depth = math.min(old.depth, nw.depth),
+      track = old.track,
+      lastcrawltime = old.lastcrawltime,
+      updatetime = now,
+      seq = old.seq)
+
+    val keyCond = live("project") === cands("project") && live("taskid") === cands("taskid")
+    // NOTE: restarted / kept rows retain their original seq (< round); only
+    // provisional inserts carry seq == round, which tags them for the
+    // archive confirmation below (a row inserted this round cannot also be
+    // matched in this merge, so the tag is unambiguous).
+    val merged = live.joinWith(cands, keyCond, "full_outer").map {
+      case (old, null) => old
+      case (null, nw)  => nw.copy(seq = round) // provisional insert — confirm vs archive below
+      case (old, nw) =>
+        // in-queue dedup D2 (scheduler.py:303-311): pending row wins unless restart
+        if (old.status == Status.Active || old.status == Status.Processing) {
+          if (nw.schedule.force_update) restart(old, nw) else old
+        } else if (restartWanted(old, nw)) restart(old, nw) else old
+    }
+
+    // split: rows that were provisional inserts still need the archive check
+    val inserts = merged.filter(_.seq == round)
+    val kept = merged.filter(_.seq != round)
+
+    val archCond = inserts("project") === archiveLatest("project") &&
+      inserts("taskid") === archiveLatest("taskid")
+    val confirmed = inserts.joinWith(archiveLatest, archCond, "left_outer").flatMap {
+      case (nw, null) => Some(nw) // truly new → on_new_request (insert)
+      case (nw, old)  => // seen before → on_old_request: re-crawl only if D4 says so
+        if (restartWanted(old, nw)) Some(restart(old, nw)) else None
+    }
+
+    val guarded = // P11 depth guard (base_handler.py:481-494)
+      if (depthLimit == -1) confirmed else confirmed.filter(_.depth <= depthLimit)
+
+    kept.union(guarded)
+  }
+
+  /** O11/O12/O13 — apply the round's status packs to the live set
+    * (scheduler.py:775-872). Returns (newLive, archiveDelta):
+    *  - success → SUCCESS (archived) unless auto_recrawl re-arms it (O12);
+    *  - failure with retries left → retry with backoff ladder (O11);
+    *  - exhausted → FAILED (archived).
+    */
+  def applyStatus(live: Dataset[Task], packs: Dataset[StatusPack], now: Double)
+                 (implicit spark: SparkSession): (Dataset[Task], Dataset[Task]) = {
+    import spark.implicits._
+    val cond = live("project") === packs("project") && live("taskid") === packs("taskid")
+    val updated = live.joinWith(packs, cond, "left_outer").map {
+      case (t, null) => t
+      case (t, p) =>
+        val track = Track(
+          fetch = TrackFetch(ok = p.fetchOk, time = p.fetchTime,
+            status_code = p.statusCode, encoding = p.encoding,
+            error = p.fetchError, content_hash = p.contentHash),
+          process = TrackProcess(ok = p.processOk, time = p.processTime,
+            follows = p.follows, exception = p.exception))
+        if (p.processOk) {
+          if (t.schedule.auto_recrawl && t.schedule.age >= 0)
+            t.copy(status = Status.Active, track = track,
+              schedule = t.schedule.copy(exetime = now + t.schedule.age, retried = 0),
+              lastcrawltime = now, updatetime = now)
+          else
+            t.copy(status = Status.Success, track = track,
+              lastcrawltime = now, updatetime = now)
+        } else {
+          val retried = t.schedule.retried + 1
+          if (retried > t.schedule.retries) {
+            if (t.schedule.auto_recrawl && t.schedule.age >= 0)
+              t.copy(status = Status.Active, track = track,
+                schedule = t.schedule.copy(retried = 0, exetime = now + t.schedule.age),
+                lastcrawltime = now, updatetime = now)
+            else
+              t.copy(status = Status.Failed, track = track,
+                lastcrawltime = now, updatetime = now)
+          } else
+            t.copy(status = Status.Active, track = track,
+              schedule = t.schedule.copy(retried = retried,
+                exetime = now + Retry.delayFor(retried)),
+              lastcrawltime = now, updatetime = now)
+        }
+    }
+    val archived = updated.filter(t =>
+      t.status == Status.Success || t.status == Status.Failed || t.status == Status.Bad)
+    val newLive = updated.filter(t =>
+      t.status == Status.Active || t.status == Status.Processing)
+    (newLive, archived)
+  }
+}
+
+/** Fetch/process outcome reported back to the scheduler — the reference's
+  * status pack (processor/processor.py:133-177). */
+case class StatusPack(
+    taskid: String,
+    project: String,
+    fetchOk: Boolean,
+    statusCode: Int,
+    fetchTime: Double,
+    encoding: String,
+    contentHash: String,
+    fetchError: String,
+    processOk: Boolean,
+    processTime: Double,
+    follows: Int,
+    exception: String)

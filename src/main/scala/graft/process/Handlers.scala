@@ -1,0 +1,127 @@
+package graft.process
+
+import graft.model._
+import graft.url.UrlCanon
+
+/** A fetched page as seen by a handler callback (reference Response object,
+  * pyspider-master/pyspider/libs/response.py:196-208, trimmed to corpus-fetch
+  * fields). */
+case class FetchedPage(
+    url: String,
+    statusCode: Int,
+    html: Array[Byte],
+    encoding: String,
+    text: String, // decoded content
+    contentHash: String, // md5 of html bytes — stands in for ETag
+    warcTs: Long,
+    error: String)
+
+/** What a callback asks the engine to do next — the typed restatement of
+  * `self.crawl(...)` kwargs (reference spider/base_handler.py:259-361). */
+case class FollowSpec(
+    url: String,
+    callback: String,
+    priority: Int = 0,
+    age: Long = -1L,
+    exetimeDelay: Double = 0.0,
+    itag: String = null,
+    forceUpdate: Boolean = false,
+    autoRecrawl: Boolean = false,
+    save: String = null)
+
+case class HandlerResult(
+    follows: Seq[FollowSpec] = Nil,
+    result: String = null, // JSON result row, like detail_page's return
+    ok: Boolean = true,
+    exception: String = null)
+
+/** Compiled callback — the engine's replacement for projectdb's hot-loaded
+  * python scripts (SURVEY §2.8: "no dynamic code loading"). */
+trait Handler extends Serializable {
+  def onPage(task: Task, page: FetchedPage): HandlerResult
+}
+
+object Handlers {
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Scala port of the canonical sample project
+    * (reference tests/data_sample_handler.py:9-27):
+    * on_start → index_page (follows all links) → detail_page ({url, title},
+    * priority 2, age 10d on index follows). */
+  val sample: Map[String, Handler] = Map(
+    "on_start" -> new Handler {
+      def onPage(task: Task, page: FetchedPage): HandlerResult =
+        HandlerResult(follows =
+          Seq(FollowSpec(task.url, callback = "index_page", forceUpdate = true)))
+    },
+    "index_page" -> new Handler {
+      def onPage(task: Task, page: FetchedPage): HandlerResult = {
+        if (page.statusCode != 200)
+          return HandlerResult(ok = false, exception = s"HTTP ${page.statusCode}")
+        val links = HtmlLite.extractLinks(page.text, page.url)
+        HandlerResult(follows =
+          links.map(u => FollowSpec(u, callback = "detail_page", age = 10 * 24 * 3600L)))
+      }
+    },
+    "detail_page" -> new Handler {
+      def onPage(task: Task, page: FetchedPage): HandlerResult = {
+        if (page.statusCode != 200)
+          return HandlerResult(ok = false, exception = s"HTTP ${page.statusCode}")
+        val title = HtmlLite.extractTitle(page.text)
+        HandlerResult(result =
+          s"""{"url": ${jsonStr(page.url)}, "title": ${jsonStr(title)}}""")
+      }
+    })
+
+  /** BFS crawler: every page's links are followed with the same callback and
+    * every page emits {url, title, text} — the whole-graph workload used by
+    * the BFS-reachability oracle and the bench. */
+  val bfs: Map[String, Handler] = Map(
+    "bfs_page" -> new Handler {
+      def onPage(task: Task, page: FetchedPage): HandlerResult = {
+        if (page.statusCode != 200)
+          return HandlerResult(ok = false, exception = s"HTTP ${page.statusCode}")
+        val links = HtmlLite.extractLinks(page.text, page.url)
+        val title = HtmlLite.extractTitle(page.text)
+        HandlerResult(
+          follows = links.map(u => FollowSpec(u, callback = "bfs_page")),
+          result = s"""{"url": ${jsonStr(page.url)}, "title": ${jsonStr(title)}}""")
+      }
+    })
+
+  val registry: Map[String, Handler] = sample ++ bfs
+
+  /** The crawl-API row constructor (reference base_handler.py:259-361 P10):
+    * canonicalize, derive taskid/host, inherit project + depth+1, depth
+    * guard applied later (P11). */
+  def mkTask(parent: Task, f: FollowSpec, now: Double, project: String): Task = {
+    val canon = UrlCanon.canonicalize(f.url)
+    Task(
+      taskid = UrlCanon.taskId(canon),
+      project = project,
+      url = canon,
+      status = Status.Active,
+      host = UrlCanon.mainDomain(canon),
+      depth = if (parent == null) 0 else parent.depth + 1,
+      schedule = Schedule(
+        priority = f.priority,
+        exetime = if (f.exetimeDelay > 0) now + f.exetimeDelay else 0.0,
+        age = f.age,
+        itag = f.itag,
+        force_update = f.forceUpdate,
+        auto_recrawl = f.autoRecrawl),
+      fetch = FetchOpts(save = f.save),
+      process = ProcessOpts(callback = f.callback),
+      updatetime = now)
+  }
+}

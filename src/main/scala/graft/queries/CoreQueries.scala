@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Q.table
+
+/** Relational baseline queries over the TPC-H-ish tables: aggregation, joins
+  * (broadcast + shuffle), windows, sessionization. Double sums are made
+  * exact by casting to DECIMAL before aggregation (order-independent), then
+  * back to DOUBLE for a canonical representation. */
+object CoreQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // flagship: pricing-summary aggregate (column-pruned scan + hash agg)
+    Q("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)(
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // 3-way join + agg + top-k (orders ⋈ customer broadcast ⋈ lineitem)
+    Q("q3_revenue_topk",
+      """SELECT o.o_orderkey,
+        | CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | WHERE c.c_mktsegment = 'BUILDING'
+        | GROUP BY o.o_orderkey
+        | ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)(
+      (s, dir) => {
+        val l = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+        val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(o("o_orderkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+      }),
+
+    // broadcast dimension join chain: nation → region counts
+    Q("j1_broadcast_join",
+      """SELECT r.r_name, COUNT(*) AS n_customers
+        | FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        | GROUP BY r.r_name""".stripMargin)(
+      (s, dir) => table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("n_customers"))),
+
+    // window: per-supplier running order count by ship date
+    Q("w1_running_window",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(row_number() OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS rn
+        | FROM lineitem""".stripMargin)(
+      (s, dir) => table(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(Window.partitionBy("l_suppkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")).cast("long").as("rn"))),
+
+    // sessionization over the events stream (lag + cumulative session ids) —
+    // the batch shape of the streaming path
+    Q("ev_sessionize",
+      """SELECT user_id, event_id, session_id FROM (
+        | SELECT user_id, event_id,
+        |  CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        | FROM (SELECT user_id, event_id, ts,
+        |   CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id)) > 600000000 OR lag(ts, 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM events) t) t2""".stripMargin)(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        table(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts").cast("timestamp_ltz")) -
+                unix_micros(col("prev_ts").cast("timestamp_ltz")) > 600000000L, 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+          .select("user_id", "event_id", "session_id")
+      }),
+
+    // distinct + set op: event types seen in first half but not second half
+    Q("set1_except",
+      """SELECT DISTINCT event_type FROM events
+        | WHERE event_id < 500 AND event_type NOT IN
+        |   (SELECT event_type FROM events WHERE event_id >= 500)""".stripMargin)(
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        e.filter(col("event_id") < 500).select("event_type")
+          .except(e.filter(col("event_id") >= 500).select("event_type"))
+      })
+  )
+}

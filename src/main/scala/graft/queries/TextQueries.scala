@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Q.table
+
+/** Large-scale training-data pipeline ops over `documents` (builder prompt:
+  * dedup exact/minhash/simhash/ngram-jaccard, language-ID, quality scoring,
+  * token counting, fingerprinting). Every hash is md5-based so Spark and
+  * DuckDB agree byte-for-byte; every ratio is a single IEEE double division
+  * of exact integers so no float-summation-order hazard exists. */
+object TextQueries {
+
+  // char shingles: substr(text, i, 8) for i = 1, 5, 9, ... (step 4)
+  private val SHINGLE_SQL =
+    """shingles AS (
+      |  SELECT doc_id, source, lang,
+      |         substr(text, CAST(i AS INTEGER), 8) AS sh
+      |  FROM documents, UNNEST(generate_series(1, GREATEST(length(text) - 7, 1), 4)) t(i)
+      |)""".stripMargin
+
+  private def shinglesDF(s: org.apache.spark.sql.SparkSession, dir: String) =
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)), lit(4))).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr("substring(text, cast(i as int), 8)").as("sh"))
+
+  val all: Seq[Q] = Seq(
+
+    // token counting (whitespace tokenizer)
+    Q("t_token_count",
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents""".stripMargin)(
+      (s, dir) => table(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))),
+
+    // quality scoring: length, average word length, stopword ratio
+    Q("t_quality_score",
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    w -> w IN ('the', 'a', 'and', 'de', 'la'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_word_len
+        | FROM documents""".stripMargin)(
+      (s, dir) => {
+        val toks = split(col("text"), " ", -1)
+        table(s, dir, "documents").select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          (size(filter(toks, w => w.isin("the", "a", "and", "de", "la")))
+            .cast("double") / size(toks)).as("stop_ratio"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks))
+            .as("avg_word_len"))
+      }),
+
+    // language-ID: stopword voting + CJK detection (n-gram heuristic)
+    Q("t_langid",
+      """SELECT doc_id, lang,
+        | CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |   WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr THEN 'en'
+        |   WHEN n_es >= n_de AND n_es >= n_fr THEN 'es'
+        |   WHEN n_de >= n_fr THEN 'de' ELSE 'fr' END AS predicted
+        | FROM (SELECT doc_id, lang, text,
+        |   len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','is'))) AS n_en,
+        |   len(list_filter(string_split(text, ' '), w -> w IN ('el','los','es','y'))) AS n_es,
+        |   len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','ist'))) AS n_de,
+        |   len(list_filter(string_split(text, ' '), w -> w IN ('le','les','est','et'))) AS n_fr
+        |  FROM documents) t""".stripMargin)(
+      (s, dir) => {
+        val toks = split(col("text"), " ", -1)
+        def nOf(ws: String*) = size(filter(toks, w => w.isin(ws: _*)))
+        table(s, dir, "documents").select(col("doc_id"), col("lang"),
+          when(col("text").rlike("[一-鿿]"), "zh")
+            .when(nOf("the", "and", "of", "is") >= nOf("el", "los", "es", "y") &&
+              nOf("the", "and", "of", "is") >= nOf("der", "die", "und", "ist") &&
+              nOf("the", "and", "of", "is") >= nOf("le", "les", "est", "et"), "en")
+            .when(nOf("el", "los", "es", "y") >= nOf("der", "die", "und", "ist") &&
+              nOf("el", "los", "es", "y") >= nOf("le", "les", "est", "et"), "es")
+            .when(nOf("der", "die", "und", "ist") >= nOf("le", "les", "est", "et"), "de")
+            .otherwise("fr").as("predicted"))
+      }),
+
+    // document fingerprint: min-hash over rolling char windows (winnowing-lite)
+    Q("t_fingerprint",
+      s"""WITH $SHINGLE_SQL
+         | SELECT doc_id, MIN(md5(sh)) AS fingerprint
+         | FROM shingles GROUP BY doc_id""".stripMargin)(
+      (s, dir) => shinglesDF(s, dir).groupBy("doc_id")
+        .agg(min(md5(col("sh"))).as("fingerprint"))),
+
+    // exact dedup: hash-groupBy on a normalization key
+    Q("dedup_exact",
+      """SELECT md5(substr(text, 1, 40)) AS h, MIN(doc_id) AS keep_id,
+        | COUNT(*) AS n FROM documents GROUP BY 1""".stripMargin)(
+      (s, dir) => table(s, dir, "documents")
+        .groupBy(md5(expr("substring(text, 1, 40)")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))),
+
+    // n-gram Jaccard near-dup: shingle join within (source, lang) blocks
+    Q("dedup_ngram_jaccard",
+      s"""WITH $SHINGLE_SQL,
+         | d AS (SELECT DISTINCT doc_id, source, lang, sh FROM shingles),
+         | sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+         | common AS (
+         |   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+         |   FROM d a JOIN d b ON a.sh = b.sh AND a.source = b.source
+         |     AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |   GROUP BY 1, 2)
+         | SELECT id_a, id_b,
+         |   CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         | FROM common JOIN sizes sa ON sa.doc_id = id_a
+         |   JOIN sizes sb ON sb.doc_id = id_b
+         | WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.12""".stripMargin)(
+      (s, dir) => {
+        val d = shinglesDF(s, dir).distinct()
+        val sizes = d.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val a = d.select(col("doc_id").as("id_a"), col("source"), col("lang"), col("sh"))
+        val b = d.select(col("doc_id").as("id_b"), col("source").as("source_b"),
+          col("lang").as("lang_b"), col("sh").as("sh_b"))
+        val common = a.join(b,
+          col("sh") === col("sh_b") && col("source") === col("source_b") &&
+            col("lang") === col("lang_b") && col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+        common
+          .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+          .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+          .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .filter(col("jaccard") >= 0.12)
+          .select("id_a", "id_b", "jaccard")
+      }),
+
+    // MinHash signatures: 4 md5-min hashes over the shingle set; 2 LSH bands
+    Q("minhash_signatures",
+      s"""WITH $SHINGLE_SQL
+         | SELECT doc_id,
+         |  md5(MIN(md5('1' || sh)) || MIN(md5('2' || sh))) AS band1,
+         |  md5(MIN(md5('3' || sh)) || MIN(md5('4' || sh))) AS band2
+         | FROM shingles GROUP BY doc_id""".stripMargin)(
+      (s, dir) => shinglesDF(s, dir).groupBy("doc_id")
+        .agg(md5(concat(min(md5(concat(lit("1"), col("sh")))),
+            min(md5(concat(lit("2"), col("sh")))))).as("band1"),
+          md5(concat(min(md5(concat(lit("3"), col("sh")))),
+            min(md5(concat(lit("4"), col("sh")))))).as("band2"))),
+
+    // MinHash-LSH candidate pairs: same band1 OR same band2 bucket
+    Q("minhash_lsh_pairs",
+      s"""WITH $SHINGLE_SQL,
+         | sigs AS (
+         |  SELECT doc_id,
+         |   md5(MIN(md5('1' || sh)) || MIN(md5('2' || sh))) AS band1,
+         |   md5(MIN(md5('3' || sh)) || MIN(md5('4' || sh))) AS band2
+         |  FROM shingles GROUP BY doc_id)
+         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |   AND (a.band1 = b.band1 OR a.band2 = b.band2)""".stripMargin)(
+      (s, dir) => {
+        val sigs = shinglesDF(s, dir).groupBy("doc_id")
+          .agg(md5(concat(min(md5(concat(lit("1"), col("sh")))),
+              min(md5(concat(lit("2"), col("sh")))))).as("band1"),
+            md5(concat(min(md5(concat(lit("3"), col("sh")))),
+              min(md5(concat(lit("4"), col("sh")))))).as("band2"))
+        val a = sigs.select(col("doc_id").as("id_a"),
+          col("band1").as("b1a"), col("band2").as("b2a"))
+        val b = sigs.select(col("doc_id").as("id_b"),
+          col("band1").as("b1b"), col("band2").as("b2b"))
+        // two equi-joins unioned (a broadcastable hash join each), NOT an
+        // OR-join (which would force a nested-loop at scale)
+        val p1 = a.join(b, col("b1a") === col("b1b") && col("id_a") < col("id_b"))
+        val p2 = a.join(b, col("b2a") === col("b2b") && col("id_a") < col("id_b"))
+        p1.select("id_a", "id_b").union(p2.select("id_a", "id_b")).distinct()
+      }),
+
+    // SimHash (16-bit, md5-derived bit votes over tokens)
+    Q("dedup_simhash",
+      { val bits = (0 until 16).map { j =>
+          s"CASE WHEN SUM(CASE WHEN substr(md5(tok), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+        }.mkString(" || ")
+        s"""SELECT doc_id, $bits AS simhash
+           | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |       FROM documents) t
+           | GROUP BY doc_id""".stripMargin })(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+        val bitCols = (0 until 16).map { j =>
+          when(sum(when(substring(md5(col("tok")), j + 1, 1) >= "8", 1)
+            .otherwise(-1)) > 0, "1").otherwise("0")
+        }
+        toks.groupBy("doc_id")
+          .agg(concat(bitCols: _*).as("simhash"))
+      })
+  )
+}

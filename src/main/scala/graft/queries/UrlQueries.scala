@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.process.HtmlLite
+import graft.url.UrlCanon
+import Q.{frontier, table, FRONTIER_SQL}
+
+/** SURVEY §2.7 expression library + §2.5 parse/extract operators as gate
+  * queries. The Spark side runs the REAL engine functions (UrlCanon /
+  * HtmlLite as UDFs); the DuckDB oracle reconstructs the expected output
+  * with plain string surgery over inputs crafted so the expectation is
+  * SQL-expressible (FIXTURES.md §6 vectors). */
+object UrlQueries {
+
+  private val canonUdf = udf((s: String) => UrlCanon.canonicalize(s))
+  private val mainDomainUdf = udf((s: String) => UrlCanon.mainDomain(s))
+  private val addSchemeUdf = udf((s: String) => UrlCanon.addHttpIfNoScheme(s))
+  private val hasExtUdf = udf((s: String) =>
+    UrlCanon.urlHasAnyExtension(s, Set(".jpg", ".pdf", ".zip")))
+  private val linksUdf = udf((html: String, base: String) =>
+    HtmlLite.extractLinks(html, base))
+  private val titleUdf = udf((html: String) => HtmlLite.extractTitle(html))
+  private val textUdf = udf((html: String) => HtmlLite.extractText(html))
+  private val urljoinUdf = udf((base: String, rel: String) => UrlCanon.urljoin(base, rel))
+
+  val all: Seq[Q] = Seq(
+
+    // E1 — md5 taskid parity (libs/utils.py:20)
+    Q("e1_md5",
+      "SELECT doc_id, md5(text) AS h FROM documents")(
+      (s, dir) => table(s, dir, "documents").select(col("doc_id"),
+        md5(col("text")).as("h"))),
+
+    // E2/E3 — canonicalization chain (_build_url + quote_chinese,
+    // url.py:109-160): fragment dropped, path space %20, %2f protected,
+    // query space → '+', blank query values kept, empty path → '/'
+    Q("e2_canonicalize",
+      s"""$FRONTIER_SQL SELECT doc_id,
+         | 'http://site' || CAST(doc_id % 37 AS VARCHAR) ||
+         |   '.example/a%20b/p%2Fq?q=a+space&a=1&empty=' AS canon_url,
+         | 'http://site' || CAST(doc_id % 37 AS VARCHAR) || '.example/' AS canon_root
+         | FROM frontier""".stripMargin)(
+      (s, dir) => frontier(s, dir).select(col("doc_id"),
+        canonUdf(concat(lit("http://site"), (col("doc_id") % 37).cast("string"),
+          lit(".example/a b/p%2fq?q=a%20space&a=1&empty=#frag"))).as("canon_url"),
+        canonUdf(concat(lit("http://site"), (col("doc_id") % 37).cast("string"),
+          lit(".example"))).as("canon_root"))),
+
+    // E4 — registrable main domain (get_domain.py:22-30 fallback spec)
+    Q("e4_main_domain",
+      s"""$FRONTIER_SQL SELECT doc_id,
+         | CASE WHEN doc_id % 2 = 0
+         |   THEN 'site' || CAST(doc_id % 37 AS VARCHAR) || '.example'
+         |   ELSE 'sub.xy.example' END AS domain
+         | FROM frontier""".stripMargin)(
+      (s, dir) => frontier(s, dir).select(col("doc_id"),
+        mainDomainUdf(when(col("doc_id") % 2 === 0,
+          concat(lit("http://www.site"), (col("doc_id") % 37).cast("string"),
+            lit(".example/p/1")))
+          .otherwise(lit("http://sub.xy.example/p/2"))).as("domain"))),
+
+    // E5 — scheme defaulting (url.py:89-97)
+    Q("e5_add_scheme",
+      s"""$FRONTIER_SQL SELECT doc_id,
+         | 'http://' || host || '/x' AS with_scheme FROM frontier""".stripMargin)(
+      (s, dir) => frontier(s, dir).select(col("doc_id"),
+        addSchemeUdf(when(col("doc_id") % 2 === 0, concat(lit("//"), col("host"), lit("/x")))
+          .otherwise(concat(col("host"), lit("/x")))).as("with_scheme"))),
+
+    // E6 — extension blacklist predicate (url.py:83-86)
+    Q("e6_url_extension",
+      s"""$FRONTIER_SQL SELECT doc_id,
+         | (doc_id % 5 = 0 OR doc_id % 5 = 1) AS blocked FROM frontier""".stripMargin)(
+      (s, dir) => frontier(s, dir).select(col("doc_id"),
+        hasExtUdf(concat(col("url"),
+          when(col("doc_id") % 5 === 0, ".jpg").when(col("doc_id") % 5 === 1, ".pdf")
+            .when(col("doc_id") % 5 === 2, ".html").otherwise(""))).as("blocked"))),
+
+    // E10 — cookie string → map (tonado_cookies.py:4-9), exploded to rows
+    Q("e10_cookie_parse",
+      """SELECT doc_id, 'sid' AS k, CAST(doc_id AS VARCHAR) AS v FROM documents
+        | UNION ALL SELECT doc_id, 'lang' AS k, lang AS v FROM documents""".stripMargin)(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          concat(lit("sid="), col("doc_id").cast("string"), lit("; lang="), col("lang"))
+            .as("cookie"))
+        .select(col("doc_id"), explode(expr("str_to_map(cookie, '; ', '=')")))
+        .select(col("doc_id"), col("key").as("k"), col("value").as("v"))),
+
+    // P6 — link extraction + absolutization + javascript:/mailto: drop
+    // (spider/lxml_extractor.py:66-86): html synthesized per doc; the real
+    // extractLinks runs on the Spark side, the oracle states the expectation
+    Q("p6_link_extract",
+      s"""$FRONTIER_SQL SELECT doc_id, link FROM (
+         |  SELECT doc_id, url AS link FROM frontier
+         |  UNION ALL
+         |  SELECT doc_id, 'http://site' || CAST(doc_id % 37 AS VARCHAR) ||
+         |    '.example/p/rel/' || CAST(doc_id AS VARCHAR) AS link FROM frontier) t""".stripMargin)(
+      (s, dir) => {
+        val html = concat(
+          lit("<html><body><a href=\""), col("url"), lit("\">x</a>"),
+          lit("<a href=\"javascript:void(0)\">j</a>"),
+          lit("<a href=\"mailto:a@b.c\">m</a>"),
+          lit("<a href=\"rel/"), col("doc_id").cast("string"), lit("\">r</a>"),
+          lit("</body></html>"))
+        frontier(s, dir).select(col("doc_id"),
+            explode(linksUdf(html, col("url"))).as("link"))
+      }),
+
+    // P7 — allow/deny URL filters (lxml_extractor.py:92-123): deny regex +
+    // extension blacklist + scheme whitelist
+    Q("p7_url_filter",
+      s"""$FRONTIER_SQL SELECT taskid, url FROM frontier
+         | WHERE doc_id % 4 <> 1
+         |   AND NOT regexp_matches(url, '/p/1[0-9]${"$"}')""".stripMargin)(
+      (s, dir) => frontier(s, dir)
+        .withColumn("url2",
+          when(col("doc_id") % 4 === 1, concat(col("url"), lit(".jpg")))
+            .otherwise(col("url")))
+        .filter(!hasExtUdf(col("url2")).cast("boolean") &&
+          !col("url2").rlike("/p/1[0-9]$"))
+        .select(col("taskid"), col("url2").as("url"))),
+
+    // P8/E8 — xpath field extraction + etree2text over the closed grammar
+    // (base_spider.py:118-136, utils.py:414-424): title round-trips with
+    // HTML-escaping exactly
+    Q("p8_xpath_title",
+      """SELECT doc_id, 'T ' || CAST(doc_id AS VARCHAR) || ' &<>"' AS title
+        | FROM documents""".stripMargin)(
+      (s, dir) => table(s, dir, "documents").select(col("doc_id"),
+        titleUdf(concat(lit("<html><head><title>T "),
+          col("doc_id").cast("string"),
+          lit(" &amp;&lt;&gt;&quot;</title></head><body></body></html>")))
+          .as("title"))),
+
+    // P4/P3 — text extraction inverse of the corpus template: rebuild the
+    // documents table's own text through render→extract (byte-identity)
+    Q("p3_text_roundtrip",
+      "SELECT doc_id, text FROM documents")(
+      (s, dir) => {
+        val renderUdf = udf((text: String) =>
+          new String(graft.corpus.CorpusGen.renderHtml(text, Nil, "utf-8"), "UTF-8"))
+        table(s, dir, "documents").select(col("doc_id"),
+          textUdf(renderUdf(col("text"))).as("text"))
+      }),
+
+    // P11 — depth guard (base_handler.py:481-494)
+    Q("p11_depth_guard",
+      s"""$FRONTIER_SQL SELECT taskid, depth FROM frontier
+         | WHERE CASE WHEN doc_id % 2 = 0 THEN depth <= 3 ELSE TRUE END""".stripMargin)(
+      (s, dir) => frontier(s, dir)
+        .filter(when(col("doc_id") % 2 === 0, col("depth") <= 3).otherwise(lit(true)))
+        .select("taskid", "depth")),
+
+    // P12 — ajax URL split: fetch_type flag by pattern (base_spider.py:40-60)
+    Q("p12_ajax_split",
+      s"""$FRONTIER_SQL SELECT taskid,
+         | CASE WHEN regexp_matches(url, '/p/.*[02468]${"$"}') THEN 'js'
+         |   ELSE NULL END AS fetch_type FROM frontier""".stripMargin)(
+      (s, dir) => frontier(s, dir).select(col("taskid"),
+        when(col("url").rlike("/p/.*[02468]$"), lit("js"))
+          .otherwise(lit(null).cast("string")).as("fetch_type"))),
+
+    // P13 — list-URL age policy (base_spider.py:96-112)
+    Q("p13_list_age",
+      s"""$FRONTIER_SQL SELECT taskid,
+         | CAST(CASE WHEN regexp_matches(url, '/p/[0-9]*0${"$"}')
+         |   THEN 3600 ELSE -1 END AS BIGINT) AS age FROM frontier""".stripMargin)(
+      (s, dir) => frontier(s, dir).select(col("taskid"),
+        when(col("url").rlike("/p/[0-9]*0$"), 3600L).otherwise(-1L).as("age"))),
+
+    // F3 — redirect following: bounded iterative resolution against a
+    // redirect map (tornado_fetcher.py:329-364); 301 chain k → k+1 for
+    // doc_id%10==0, max 5 hops
+    Q("f3_redirects",
+      s"""$FRONTIER_SQL SELECT f.taskid,
+         | CASE WHEN f.doc_id % 10 = 0 THEN r.url ELSE f.url END AS final_url
+         | FROM frontier f LEFT JOIN frontier r ON r.doc_id = f.doc_id + 1""".stripMargin)(
+      (s, dir) => {
+        val f = frontier(s, dir)
+        val redirects = f.select((col("doc_id") - 1).as("src_id"), col("url").as("dst_url"))
+        f.join(redirects, f("doc_id") === redirects("src_id"), "left_outer")
+          .select(col("taskid"),
+            when(col("doc_id") % 10 === 0, col("dst_url")).otherwise(col("url"))
+              .as("final_url"))
+      }),
+
+    // urljoin vectors (RFC-3986 resolution used by P6)
+    Q("p6_urljoin",
+      s"""$FRONTIER_SQL SELECT doc_id,
+         | 'http://site' || CAST(doc_id % 37 AS VARCHAR) || '.example/p/x' AS joined
+         | FROM frontier""".stripMargin)(
+      (s, dir) => frontier(s, dir).select(col("doc_id"),
+        urljoinUdf(col("url"), lit("../p/x")).as("joined")))
+  )
+}

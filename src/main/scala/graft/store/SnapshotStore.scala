@@ -1,0 +1,143 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+
+import graft.model.Task
+
+/** Iceberg-shaped Parquet snapshot store (SURVEY §7 item 4: no Iceberg
+  * runtime jar ships offline, so v1 implements the same contract — atomic
+  * per-round snapshots, append-only logs, per-partition lineage counts in a
+  * manifest — on plain Parquet; swapping in Iceberg is a config change).
+  *
+  * Layout under `root/`:
+  * {{{
+  *   round=N/live/           live frontier (ACTIVE|PROCESSING rows), rewritten per round
+  *   round=N/host_tokens/    politeness-bucket carry
+  *   round=N/proj_tokens/
+  *   round=N/_MANIFEST.json  commit marker — written LAST; a round without it is invisible
+  *   archive/round=N/        append-only terminal rows (log-structured; latest-wins on read)
+  *   results/round=N/        append-only result rows
+  *   metrics/round=N/        per-round per-project counters (G1/G5 analog)
+  * }}}
+  *
+  * Resume = max committed N; archive/results/metrics dirs are only read for
+  * committed rounds, so a crash mid-round leaves invisible garbage, never a
+  * torn state (the reference's analog: taskdb IS the checkpoint,
+  * scheduler.py:151-186 + counter dumps :477-489).
+  */
+class SnapshotStore(val root: String)(implicit spark: SparkSession) {
+  import spark.implicits._
+
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def fs: FileSystem = new Path(root).getFileSystem(hconf)
+
+  def roundDir(n: Long) = s"$root/round=$n"
+  def manifestPath(n: Long) = new Path(s"${roundDir(n)}/_MANIFEST.json")
+
+  def committedRounds(): Seq[Long] = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return Nil
+    fs.listStatus(rootPath).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("round=") => s.stripPrefix("round=").toLong }
+      .filter(n => fs.exists(manifestPath(n)))
+      .sorted
+  }
+
+  def lastCommitted(): Option[Long] = committedRounds().lastOption
+
+  def writeLive(n: Long, live: Dataset[Task]): Unit =
+    live.write.mode(SaveMode.Overwrite).parquet(s"${roundDir(n)}/live")
+
+  def readLive(n: Long): Dataset[Task] =
+    spark.read.parquet(s"${roundDir(n)}/live").as[Task]
+
+  def writeTokens(n: Long, host: DataFrame, proj: DataFrame): Unit = {
+    host.write.mode(SaveMode.Overwrite).parquet(s"${roundDir(n)}/host_tokens")
+    proj.write.mode(SaveMode.Overwrite).parquet(s"${roundDir(n)}/proj_tokens")
+  }
+
+  def readTokens(n: Long): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"${roundDir(n)}/host_tokens"),
+      spark.read.parquet(s"${roundDir(n)}/proj_tokens"))
+
+  def appendArchive(n: Long, delta: Dataset[Task]): Unit =
+    delta.write.mode(SaveMode.Overwrite).parquet(s"$root/archive/round=$n")
+
+  /** Latest-wins log read over all committed archive deltas. */
+  def readArchive(upTo: Long): Dataset[Task] = {
+    val dirs = committedRounds().filter(_ <= upTo)
+      .map(n => s"$root/archive/round=$n")
+      .filter(d => fs.exists(new Path(d)))
+    if (dirs.isEmpty) spark.emptyDataset[Task]
+    else spark.read.parquet(dirs: _*).as[Task]
+  }
+
+  def appendResults(n: Long, results: DataFrame): Unit =
+    results.write.mode(SaveMode.Overwrite).parquet(s"$root/results/round=$n")
+
+  def appendMetrics(n: Long, metrics: DataFrame): Unit =
+    metrics.write.mode(SaveMode.Overwrite).parquet(s"$root/metrics/round=$n")
+
+  def readResults(): DataFrame = {
+    val dirs = committedRounds().map(n => s"$root/results/round=$n")
+      .filter(d => fs.exists(new Path(d)))
+    if (dirs.isEmpty) spark.emptyDataFrame else spark.read.parquet(dirs: _*)
+  }
+
+  def readMetrics(): DataFrame = {
+    val dirs = committedRounds().map(n => s"$root/metrics/round=$n")
+      .filter(d => fs.exists(new Path(d)))
+    if (dirs.isEmpty) spark.emptyDataFrame else spark.read.parquet(dirs: _*)
+  }
+
+  /** Commit marker with per-partition lineage counts (north rule). */
+  def commit(n: Long, now: Double, liveRows: Long, archiveDeltaRows: Long,
+             archiveTotalRows: Long, resultRows: Long, selected: Long,
+             partCounts: Seq[(String, Long)]): Unit = {
+    val parts = partCounts.map { case (k, v) => s"""{"part":"$k","rows":$v}""" }
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"round":$n,"now":$now,"live_rows":$liveRows,"archive_delta":$archiveDeltaRows,
+         |"archive_total":$archiveTotalRows,"results":$resultRows,"selected":$selected,
+         |"partitions":$parts}""".stripMargin.replace("\n", "")
+    val tmp = new Path(s"${roundDir(n)}/_MANIFEST.json.tmp")
+    val out = fs.create(tmp, true)
+    out.write(json.getBytes("UTF-8")); out.close()
+    fs.rename(tmp, manifestPath(n)) // atomic on HDFS / local
+  }
+
+  def readManifest(n: Long): Option[String] = {
+    val p = manifestPath(n)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes); in.close()
+      Some(new String(bytes, "UTF-8"))
+    }
+  }
+
+  def archiveTotalOf(n: Long): Long =
+    readManifest(n).flatMap { s =>
+      """"archive_total":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+    }.getOrElse(0L)
+
+  /** Drop everything after round n (used by resume after a torn run, and by
+    * the kill/resume test). */
+  def truncateAfter(n: Long): Unit = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return
+    def dropRounds(base: String): Unit = {
+      val p = new Path(base)
+      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("round=") && name.stripPrefix("round=").toLong > n)
+          fs.delete(st.getPath, true)
+      }
+    }
+    dropRounds(root); dropRounds(s"$root/archive")
+    dropRounds(s"$root/results"); dropRounds(s"$root/metrics")
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.url.UrlCanon._
+
+/** FIXTURES.md §6 vectors — byte-parity of the canonicalization chain with
+  * the reference `_build_url`/`quote_chinese`/`get_domain`
+  * (pyspider-master/pyspider/libs/url.py:109-160, libs/get_domain.py:22-30,
+  * incl. the module self-tests url.py:215-221). */
+class UrlCanonSpec extends AnyFunSuite {
+
+  test("url.py self-test vectors (_build_url)") {
+    // print _build_url('http://www.example.com/do?&a=1', None) → blank pair dropped by parse_qsl
+    assert(canonicalize("http://www.example.com/do?&a=1") ===
+      "http://www.example.com/do?a=1")
+    // space in query normalized to '+'
+    assert(canonicalize("http://www.example.com/do?q=a%20space&a=1") ===
+      "http://www.example.com/do?q=a+space&a=1")
+    // space in path percent-encoded
+    assert(canonicalize("http://www.example.com/a do?a=1") ===
+      "http://www.example.com/a%20do?a=1")
+    // unquote-then-requote path
+    assert(canonicalize("http://www.example.com/a %20do?a=1") ===
+      "http://www.example.com/a%20%20do?a=1")
+  }
+
+  test("fragment dropped; empty path becomes /") {
+    assert(canonicalize("http://example.com#frag") === "http://example.com/")
+    assert(canonicalize("http://example.com/x?a=1#frag") === "http://example.com/x?a=1")
+  }
+
+  test("%2F / %3F protected in path (url.py:139-143)") {
+    assert(canonicalize("http://example.com/a%2fb") === "http://example.com/a%2Fb")
+    assert(canonicalize("http://example.com/a%3Fb") === "http://example.com/a%3Fb")
+    // other escapes are unquoted then requoted
+    assert(canonicalize("http://example.com/a%41b") === "http://example.com/aAb")
+  }
+
+  test("blank query values kept (keep_blank_values=True)") {
+    assert(canonicalize("http://example.com/x?a=&b=1") === "http://example.com/x?a=&b=1")
+    assert(canonicalize("http://example.com/x?a") === "http://example.com/x?a=")
+  }
+
+  test("quote_chinese: bytes >= 0x80 percent-encoded (UTF-8)") {
+    assert(canonicalize("http://example.com/中文") ===
+      "http://example.com/%E4%B8%AD%E6%96%87")
+    assert(quoteChinese("http://example.com/中") === "http://example.com/%E4%B8%AD")
+  }
+
+  test("unicode host IDNA-encoded; ASCII labels untouched") {
+    assert(canonicalize("http://中文.example.com/") ===
+      "http://xn--fiq228c.example.com/")
+    // python str.encode('idna') does NOT lowercase pure-ASCII labels
+    assert(canonicalize("http://WWW.Example.com/") === "http://WWW.Example.com/")
+  }
+
+  test("scheme lowercased; params preserved") {
+    assert(canonicalize("HTTP://example.com/x;par?a=1") === "http://example.com/x;par?a=1")
+  }
+
+  test("md5 taskid parity (libs/utils.py:20)") {
+    assert(md5Hex("hello") === "5d41402abc4b2a76b9719d911017c592")
+    assert(md5Hex("") === "d41d8cd98f00b204e9800998ecf8427e")
+    assert(taskId("http://example.com/") === md5Hex("http://example.com/"))
+  }
+
+  test("main domain fallback heuristic (get_domain.py:22-30)") {
+    assert(mainDomain("http://www.a.com/x") === "www.a.com") // 'a' < 4 chars → 3 labels
+    assert(mainDomain("http://x.co.uk/") === "x.co.uk")
+    assert(mainDomain("http://www.site0.example/p/1") === "site0.example")
+    assert(mainDomain("site0.example") === "site0.example")
+    assert(mainDomain("http://a.b.c.example.com/") === "example.com")
+  }
+
+  test("add_http_if_no_scheme (url.py:89-97)") {
+    assert(addHttpIfNoScheme("//host/x") === "http://host/x")
+    assert(addHttpIfNoScheme("host/x") === "http://host/x")
+    assert(addHttpIfNoScheme("https://host/x") === "https://host/x")
+  }
+
+  test("url_is_from_any_domain / url_has_any_extension (url.py:76-86)") {
+    assert(urlIsFromAnyDomain("http://a.example.com/x", Seq("example.com")))
+    assert(!urlIsFromAnyDomain("http://examplexcom/x", Seq("example.com")))
+    assert(urlHasAnyExtension("http://e.com/a/b.JPG", Set(".jpg")))
+    assert(!urlHasAnyExtension("http://e.com/a/b.html", Set(".jpg")))
+  }
+
+  test("urljoin RFC-3986 vectors") {
+    assert(urljoin("http://e.com/a/b", "c") === "http://e.com/a/c")
+    assert(urljoin("http://e.com/a/b", "/c") === "http://e.com/c")
+    assert(urljoin("http://e.com/a/b", "../c") === "http://e.com/c")
+    assert(urljoin("http://e.com/a/b", "//x.com/c") === "http://x.com/c")
+    assert(urljoin("http://e.com/a/b", "http://y.com/") === "http://y.com/")
+    assert(urljoin("http://e.com/a/b?q=1", "") === "http://e.com/a/b?q=1")
+  }
+
+  test("property: canonicalization is idempotent (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val gen = Gen.oneOf(
+      Gen.alphaNumStr.map(s => s"http://example.com/$s"),
+      Gen.alphaNumStr.map(s => s"http://h.example.com/p?q=$s&x="),
+      Gen.alphaNumStr.map(s => s"http://site0.example/a b/$s#f"),
+      Gen.const("http://example.com/中 文?我=1"))
+    val prop = Prop.forAll(gen) { u =>
+      val c = canonicalize(u)
+      canonicalize(c) == c
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
