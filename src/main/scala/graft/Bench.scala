@@ -19,26 +19,36 @@ object Bench {
     "g1_window_counts", "dedup_simhash", "minhash_signatures",
     "t_fingerprint", "ann_topk_bruteforce")
 
-  private def newSession(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
+  private def newSession(cores: Int, forCrawl: Boolean = false): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (forCrawl) {
+      // measured on the engine (tools.RoundProfile): the round pipeline's
+      // typed plans generate ~MB whole-stage sources that dominate task
+      // deserialization, and forced broadcasts of large candidate batches
+      // thrash — interpreted eval + AQE-decided joins with a 64 MB
+      // threshold are strictly faster for the crawl loop.
+      b.config("spark.sql.codegen.wholeStage", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
   /** One full crawl over `nPages` synthetic pages; returns urls-fetched/sec
     * (the north-rule metric: fetched+deduped URLs per second). */
-  private def crawlRun(cores: Int, nPages: Long, nHosts: Int): (Double, Long) = {
-    val spark = newSession(cores)
+  private def crawlRun(cores: Int, nPages: Long, nHosts: Int,
+                       branch: Int): (Double, Long) = {
+    val spark = newSession(cores, forCrawl = true)
     try {
       implicit val s: SparkSession = spark
-      val corpus = CorpusGen.generate(spark, nPages, nHosts).cache()
+      val corpus = CorpusGen.generate(spark, nPages, nHosts, 42L, branch).cache()
       corpus.count() // materialize outside the timed section
       val ckpt = java.nio.file.Files.createTempDirectory(s"graft_bench_$cores").toString
       val engine = new CrawlEngine(corpus, EngineConfig(
@@ -58,8 +68,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "40000").toLong
-    val benchHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "40").toInt
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "600000").toLong
+    val benchHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "64").toInt
+    val benchBranch = sys.env.getOrElse("SPARK_GRAFT_BENCH_BRANCH", "16").toInt
 
     // -- part 1: headline queries on the provided tables ------------------
     val spark = newSession(cpus)
@@ -74,8 +85,8 @@ object Bench {
     spark.stop()
 
     // -- part 2: scaling protocol (BASELINE.md): same job, 8 vs 32 cores --
-    val (t8rate, _) = crawlRun(8, benchPages, benchHosts)
-    val (t32rate, fetched) = crawlRun(32, benchPages, benchHosts)
+    val (t8rate, _) = crawlRun(8, benchPages, benchHosts, benchBranch)
+    val (t32rate, fetched) = crawlRun(32, benchPages, benchHosts, benchBranch)
     val efficiency = (t32rate / t8rate) / 4.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

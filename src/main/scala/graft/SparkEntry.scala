@@ -12,7 +12,8 @@ object SparkEntry {
 
   private val battery: Seq[Q] =
     CoreQueries.all ++ SchedulerQueries.all ++ UrlQueries.all ++
-      TextQueries.all ++ VectorQueries.all ++ CrawlQueries.all
+      TextQueries.all ++ VectorQueries.all ++ MultimodalQueries.all ++
+      CrawlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

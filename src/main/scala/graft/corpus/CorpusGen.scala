@@ -40,7 +40,7 @@ object CorpusGen extends Serializable {
   // ------------------------------------------------------------------
 
   final case class Layout(nPages: Long, nHosts: Int, sizes: Array[Long],
-                          offsets: Array[Long]) extends Serializable {
+                          offsets: Array[Long], branch: Int = 3) extends Serializable {
     /** global index -> (host, k-within-host) */
     def locate(i: Long): (Int, Long) = {
       var lo = 0; var hi = nHosts - 1
@@ -52,8 +52,8 @@ object CorpusGen extends Serializable {
     }
   }
 
-  def layout(nPages: Long, nHosts: Int): Layout = {
-    require(nHosts >= 2 && nPages >= nHosts)
+  def layout(nPages: Long, nHosts: Int, branch: Int = 3): Layout = {
+    require(nHosts >= 2 && nPages >= nHosts && branch >= 2)
     val sizes = new Array[Long](nHosts)
     val hot = math.max(1L, (nPages * 3) / 10)
     sizes(0) = hot
@@ -70,7 +70,7 @@ object CorpusGen extends Serializable {
     val offsets = new Array[Long](nHosts)
     var acc = 0L
     for (i <- 0 until nHosts) { offsets(i) = acc; acc += sizes(i) }
-    Layout(acc, nHosts, sizes, offsets)
+    Layout(acc, nHosts, sizes, offsets, branch)
   }
 
   // ------------------------------------------------------------------
@@ -86,10 +86,11 @@ object CorpusGen extends Serializable {
 
   def robotsUrl(h: Int): String = s"http://${hostName(h)}/robots.txt"
 
-  /** children of page k within host h (same-host BFS tree). */
+  /** children of page k within host h (same-host B-ary BFS tree). */
   def childK(layout: Layout, h: Int, k: Long): Seq[Long] = {
     val size = layout.sizes(h)
-    (1L to 3L).map(j => 3 * k + j).filter(_ < size)
+    val b = layout.branch
+    (1L to b.toLong).map(j => b * k + j).filter(_ < size)
   }
 
   /** cross-host link target, if any: every 7th page points at another host's
@@ -203,9 +204,9 @@ object CorpusGen extends Serializable {
 
   /** Full corpus: nPages content pages + one robots.txt per host. */
   def generate(spark: SparkSession, nPages: Long, nHosts: Int,
-               seed: Long = 42L): Dataset[Page] = {
+               seed: Long = 42L, branch: Int = 3): Dataset[Page] = {
     import spark.implicits._
-    val lay = layout(nPages, nHosts)
+    val lay = layout(nPages, nHosts, branch)
     val pages = spark.range(lay.nPages).map(i => pageOf(seed, lay, i))
     val robots = spark.createDataset((0 until nHosts).map(robotsPage))
     pages.union(robots)

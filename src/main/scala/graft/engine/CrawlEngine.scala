@@ -20,10 +20,14 @@ case class EngineConfig(
     roundDt: Double = 30.0, // logical seconds per round (LOOP analog)
     checkpointDir: String,
     useBloom: Boolean = true,
-    bloomCap: Long = 50_000_000L)
+    bloomCap: Long = 50_000_000L, // above this, skip the driver-side bloom
+    bloomMinRows: Long = 100_000L, // below this the exact join is cheaper
+    bloomExpected: Long = 4_000_000L, // sizing; identical for all merges
+    cronEverySec: Long = 0L, // O10: @every interval in logical secs; 0 = off
+    seeds: Seq[String] = Nil) // re-injected by each due cron tick
 
 case class RoundStats(round: Long, now: Double, selected: Long, newLive: Long,
-                      archived: Long, results: Long)
+                      archived: Long, results: Long, wallSec: Double = 0.0)
 
 /** One page processed by a handler. Everything the scheduler + result worker
   * need flows out of one `mapPartitions` pass (reference processor,
@@ -48,15 +52,41 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
   val store = new SnapshotStore(cfg.checkpointDir)
   val fetcher: FetchService = new CorpusFetcher(corpus)
 
+  /** Incremental URL-seen bloom over archive taskids (north rule): built
+    * once at init/resume, then each round's archive delta is OR-ed in
+    * (`mergeInPlace`). All blooms share `bloomExpected` so bit layouts are
+    * compatible. Pre-filter only — exact anti/left joins remain the truth
+    * (bloom FPR must never corrupt the seen set, SURVEY §7). */
+  private var seenBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
+
+  /** (Re)build the bloom when the archive enters the size band where it
+    * pays: below bloomMinRows the exact broadcast-semi join is cheaper than
+    * the extra per-round bloom jobs; above bloomCap the driver-side sketch
+    * is replaced by the bucket-local blooms of the scale path. Building is
+    * one pass over the archive, amortized: once built it is maintained
+    * incrementally (mergeInPlace of each round's delta). */
+  private def maybeInitBloom(upTo: Long): Unit = {
+    if (!cfg.useBloom || seenBloom.isDefined) return
+    val total = store.archiveTotalOf(upTo)
+    if (total < cfg.bloomMinRows || total > cfg.bloomCap) return
+    seenBloom = Some(
+      store.readArchive(upTo).stat.bloomFilter("taskid", cfg.bloomExpected, 0.01))
+  }
+
   /** robots.txt rules parsed from the corpus itself (host → disallow
-    * prefixes) — small, broadcast at selection time. */
-  lazy val robotsRules: DataFrame = corpus
-    .filter(col("url").endsWith("/robots.txt"))
-    .map { p =>
-      val host = UrlCanon.mainDomain(p.url)
-      (host, HtmlLite.robotsDisallows(new String(p.html, "UTF-8")))
-    }
-    .toDF("host", "disallow_prefixes")
+    * prefixes). One row per host → COLLECTED once and re-created as a local
+    * relation, so the per-round robots gate never re-scans the corpus
+    * (broadcasting a local relation is driver-side only). */
+  lazy val robotsRules: DataFrame = {
+    val rows = corpus
+      .filter(col("url").endsWith("/robots.txt"))
+      .map { p =>
+        val host = UrlCanon.mainDomain(p.url)
+        (host, HtmlLite.robotsDisallows(new String(p.html, "UTF-8")))
+      }
+      .collect()
+    spark.createDataFrame(rows.toSeq).toDF("host", "disallow_prefixes")
+  }
 
   def seedTasks(urls: Seq[String]): Dataset[Task] = {
     // Scheduler.add_seed semantics (scheduler.py:593-614): md5 taskid,
@@ -132,24 +162,39 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     }
   }
 
+  private val phaseLog = sys.env.contains("GRAFT_PHASE_LOG")
+  @inline private def timed[T](name: String)(body: => T): T = {
+    if (!phaseLog) body
+    else {
+      spark.sparkContext.setJobDescription(name)
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"      [phase] $name%-16s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+      spark.sparkContext.setJobDescription(null)
+      r
+    }
+  }
+
   /** Run one round on top of committed round `n-1`; commits round `n`. */
   def runRound(n: Long): RoundStats = {
     val now = n * cfg.roundDt
     val dt = cfg.roundDt
     val p = cfg.project
+    maybeInitBloom(n - 1)
+    val cached = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+    def hook[T](d: Dataset[T]): Dataset[T] = {
+      val h = d.persist(StorageLevel.MEMORY_AND_DISK); cached += h; h
+    }
 
     val live0 = store.readLive(n - 1)
     val (hostTok, projTok) = store.readTokens(n - 1)
     val archiveTotal = store.archiveTotalOf(n - 1)
 
     // O4 requeue + robots gate, then O3 due / O2 priority / O5-O7 budgets
-    val live = Frontier.applyRobots(
-      Frontier.reactivateTimeouts(live0, now, p.processingTimeout), robotsRules)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val live = hook(Frontier.applyRobots(
+      Frontier.reactivateTimeouts(live0, now, p.processingTimeout), robotsRules))
     val dueNow = Frontier.due(live, now)
-    val selected = Frontier.select(dueNow.toDF(), p, dt, hostTok, projTok)
-      .as[Task].persist(StorageLevel.MEMORY_AND_DISK)
-    val selectedCount = selected.count()
+    val selected = hook(Frontier.select(dueNow.toDF(), p, dt, hostTok, projTok).as[Task])
 
     // mark selected rows PROCESSING (the reference's processing queue, O4)
     val selKeys = selected.select(col("project"), col("taskid")).withColumn("__sel", lit(true))
@@ -161,57 +206,112 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
       .drop("__sel").as[Task]
 
     // fetch (S4) + process (P*)
-    val processed = process(fetcher.fetch(selected), now)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val processed = hook(process(fetcher.fetch(selected, hook(_)), now))
 
     val packs = processed.map(_.status)
     val follows = processed.flatMap(_.follows)
     val results = processed.filter(_.result != null).map(_.result)
 
-    // O11-O13: statuses → live'; terminal rows split off to the archive log
-    val (liveAfterStatus, archiveDelta0) = Frontier.applyStatus(liveMarked, packs, now)
-    val archiveDelta = archiveDelta0.persist(StorageLevel.MEMORY_AND_DISK)
+    // O11-O13: statuses → live'; terminal rows split off to the archive log.
+    // The parent pass is cached (hook) so the two split views share it.
+    val (liveAfterStatus, archiveDelta) =
+      Frontier.applyStatus(liveMarked, packs, now, hook(_))
+
+    // O10 cron ticks (@every, scheduler.py:330-358): any tick in
+    // ((n-1)*dt, n*dt] divisible by the interval re-injects the seeds as
+    // force_update control candidates (the `_on_cronjob` → on_start path)
+    val cronCands: Dataset[Task] =
+      if (cfg.cronEverySec > 0 && cfg.seeds.nonEmpty && {
+        val lo = (n - 1) * dt; val hi = now
+        (lo.toLong / cfg.cronEverySec) != (hi.toLong / cfg.cronEverySec) ||
+          hi.toLong % cfg.cronEverySec == 0
+      }) seedTasks(cfg.seeds)
+      else spark.emptyDataset[Task]
 
     // D1-D6 + P11: follows into the frontier, checked against the seen-set
-    val candidates = Frontier.mergeCandidates(follows)
-    val archive = SeenSet.latest(store.readArchive(n - 1))
-    val newLive = Frontier.mergeIntoLive(liveAfterStatus, candidates, archive,
-      now, n, p.depthLimit)
+    // (bloom pre-filter + broadcast-semi-join against the archive log —
+    // the archive is never shuffled, see Frontier.mergeIntoLive)
+    val candidates = Frontier.mergeCandidates(follows.union(cronCands))
+    val newLive = hook(Frontier.mergeIntoLive(liveAfterStatus, candidates,
+      store.readArchive(n - 1), seenBloom, now, n, p.depthLimit, hook))
 
-    // token carry (O5/O6 closed form)
-    val hostTok1 = Frontier.consumedTokens(selected.toDF(), "host", hostTok,
-      p.hostRate, p.hostBurst, dt)
-    val projTok1 = Frontier.consumedTokens(selected.toDF(), "project", projTok,
-      p.rate, p.burst, dt)
+    // token carry (O5/O6 closed form) — one pass for both bucket kinds
+    val tokensUnified = Frontier.consumedTokensUnified(
+      selected.toDF(), store.readTokensUnified(n - 1),
+      p.hostRate, p.hostBurst, p.rate, p.burst, dt)
 
-    // ---- commit (writes are the round's only actions besides the counts) --
-    store.writeLive(n, newLive)
-    store.appendArchive(n, archiveDelta)
-    store.appendResults(n, results.toDF())
-    val liveRows = store.readLive(n).count()
-    val archRows = archiveDelta.count()
-    val resultRows = results.count()
+    // ---- commit (manifest written last; see SnapshotStore) ---------------
+    // Per-action driver planning is the fixed tax of a round, so counts ride
+    // along the writes as observed metrics instead of separate count() jobs.
 
-    val metrics = packs.groupBy("project")
+    // G1/F7 per-round counters: ONE aggregation over the cached process
+    // output yields every counter including selected (1:1 with processed)
+    // and the result count; this is also the action that materializes the
+    // select→fetch→process caches. Collected rows (one per project) are
+    // re-written as a LOCAL relation so the metrics append is shuffle-free.
+    val metricRows = timed("metrics.collect")(processed.toDF()
+      .groupBy(col("status.project").as("project"))
       .agg(count(lit(1)).as("processed"),
-        sum(when(col("processOk"), 1).otherwise(0)).as("ok"),
-        sum(when(col("statusCode") === 200, 1).otherwise(0)).as("fetch_200"),
-        sum(when(col("statusCode") === 304, 1).otherwise(0)).as("fetch_304"),
-        sum(when(col("statusCode") >= 400, 1).otherwise(0)).as("fetch_err"))
+        sum(when(col("status.processOk"), 1).otherwise(0)).as("ok"),
+        sum(when(col("status.statusCode") === 200, 1).otherwise(0)).as("fetch_200"),
+        sum(when(col("status.statusCode") === 304, 1).otherwise(0)).as("fetch_304"),
+        sum(when(col("status.statusCode") >= 400, 1).otherwise(0)).as("fetch_err"),
+        sum(when(col("result").isNotNull, 1).otherwise(0)).as("results_cnt"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect())
+    // quiet rounds still record a (zero) metrics row — the counter log is
+    // gapless per round, like the reference's 60 s counter dumps
+    val metricRows0 =
+      if (metricRows.nonEmpty) metricRows
+      else Array((cfg.project.name, 0L, 0L, 0L, 0L, 0L, 0L))
+    val selectedCount = metricRows0.map(_._2).sum
+    val resultRows = metricRows0.map(_._7).sum
+
+    // The four commit writes are independent — submit them CONCURRENTLY so
+    // their driver planning + job latencies overlap (the serial driver time
+    // between jobs is the round's fixed tax; see tools.RoundProfile).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val liveObs = new org.apache.spark.sql.Observation(s"live_$n")
+    val archObs = new org.apache.spark.sql.Observation(s"arch_$n")
+    val fLive = Future(timed("writeLive")(store.writeLive(n,
+      newLive.observe(liveObs, count(lit(1)).as("rows")))))
+    val fArch = Future(timed("writeArchive")(store.appendArchive(n,
+      archiveDelta.observe(archObs, count(lit(1)).as("rows")))))
+    val fRes = Future(timed("writeResults")(store.appendResults(n,
+      if (resultRows < 100_000) results.toDF().coalesce(1) else results.toDF())))
+    val fTok = Future(timed("writeTokens")(
+      store.writeTokensUnified(n, tokensUnified.coalesce(1))))
+    Await.result(Future.sequence(Seq(fLive, fArch, fRes, fTok)), Duration.Inf)
+    val liveRows = liveObs.get("rows").asInstanceOf[Long]
+    val archRows = archObs.get("rows").asInstanceOf[Long]
+
+    val metrics = spark.createDataset(metricRows0.map(r =>
+        (r._1, r._2, r._3, r._4, r._5, r._6)).toSeq)
+      .toDF("project", "processed", "ok", "fetch_200", "fetch_304", "fetch_err")
       .withColumn("round", lit(n)).withColumn("now", lit(now))
       .withColumn("selected", lit(selectedCount))
       .withColumn("live_rows", lit(liveRows))
       .withColumn("archived", lit(archRows))
       .withColumn("results", lit(resultRows))
-    store.appendMetrics(n, metrics)
-    store.writeTokens(n, hostTok1, projTok1)
+    timed("writeMetrics")(store.appendMetrics(n, metrics.coalesce(1)))
+
+    // fold this round's archived keys into the seen-bloom (incremental)
+    seenBloom.foreach { bf =>
+      if (archRows > 0)
+        bf.mergeInPlace(archiveDelta.toDF().stat
+          .bloomFilter("taskid", cfg.bloomExpected, 0.01))
+    }
+
     store.commit(n, now, liveRows, archRows, archiveTotal + archRows, resultRows,
       selectedCount,
       Seq("live" -> liveRows, "archive_delta" -> archRows, "results" -> resultRows))
 
-    live.unpersist(); selected.unpersist(); processed.unpersist(); archiveDelta.unpersist()
+    cached.foreach(_.unpersist())
     RoundStats(n, now, selectedCount, liveRows, archRows, resultRows)
   }
+
+  private val roundLog = sys.env.contains("GRAFT_ROUND_LOG")
 
   /** Crawl until `maxRounds` or quiescence (nothing selected). Returns stats
     * per executed round. */
@@ -221,7 +321,12 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     var quiet = false
     while (!quiet && n < maxRounds) {
       n += 1
-      val s = runRound(n)
+      val t0 = System.nanoTime()
+      val s0 = runRound(n)
+      val s = s0.copy(wallSec = (System.nanoTime() - t0) / 1e9)
+      if (roundLog) System.err.println(
+        f"[round ${s.round}%3d] selected=${s.selected}%7d live=${s.newLive}%7d " +
+        f"archived=${s.archived}%7d results=${s.results}%7d ${s.wallSec}%6.2fs")
       stats += s
       quiet = s.selected == 0
     }
@@ -238,4 +343,21 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
 
   def resultsDF(): DataFrame = store.readResults()
   def metricsDF(): DataFrame = store.readMetrics()
+
+  /** S9 result export (reference libs/result_dump.py:16-121): the common
+    * fields of the JSON results are lifted to columns (schema inference —
+    * native here) and dumped as JSONL or CSV. */
+  def exportResults(path: String, format: String = "json"): Unit = {
+    val raw = resultsDF()
+    val parsed = spark.read.json(raw.select("result").as[String])
+    val out = raw.drop("result")
+      .join(parsed.withColumnRenamed("url", "result_url"),
+        col("url") === col("result_url"), "left_outer")
+      .drop("result_url")
+    format match {
+      case "json" => out.write.mode("overwrite").json(path)
+      case "csv"  => out.write.mode("overwrite").option("header", "true").csv(path)
+      case other  => throw new IllegalArgumentException(s"format: $other")
+    }
+  }
 }

@@ -14,7 +14,12 @@ import graft.process.FetchedPage
   * without touching the round pipeline.
   */
 trait FetchService extends Serializable {
-  def fetch(selected: Dataset[Task])(implicit spark: SparkSession): Dataset[(Task, FetchedPage)]
+  /** `hook` lets the caller cache intermediates consumed twice (round-scoped). */
+  def fetch(selected: Dataset[Task], hook: FetchService.Hook = identity _)
+           (implicit spark: SparkSession): Dataset[(Task, FetchedPage)]
+}
+object FetchService {
+  type Hook = Dataset[(Task, FetchedPage)] => Dataset[(Task, FetchedPage)]
 }
 
 /** Corpus-backed fetcher.
@@ -37,26 +42,44 @@ trait FetchService extends Serializable {
   */
 class CorpusFetcher(corpus: Dataset[Page]) extends FetchService {
 
-  override def fetch(selected: Dataset[Task])
+  override def fetch(selected: Dataset[Task], hook: FetchService.Hook = identity _)
                     (implicit spark: SparkSession): Dataset[(Task, FetchedPage)] = {
     import spark.implicits._
-    val cond = selected("url") === corpus("url")
-    selected.joinWith(corpus, cond, "left_outer").map {
-      case (t, null) =>
+    // JOIN SHAPE: an outer join preserving `selected` can only broadcast the
+    // corpus (illegal at 10^10 rows), so split it:
+    //   1. INNER join with the selected batch broadcast as build side —
+    //      the corpus is probed MAP-SIDE, COLUMNAR (plain DF join: no Page
+    //      deserialization for non-matching rows — a typed joinWith here
+    //      would decode every corpus row every round), never shuffled;
+    //   2. misses = selected ANTI-JOIN hit keys (both sides tiny) →
+    //      normalized 599 rows (F6, tornado_fetcher.py:210-224).
+    // At 10^10 rows the same contract is met by bucketing the corpus on url
+    // and pruning buckets to the selected batch's bucket set.
+    val selDF = selected.toDF()
+      .select(struct(col("*")).as("_1"), col("url").as("__sel_url"))
+    val matched = corpus.toDF()
+      .join(broadcast(selDF), col("url") === col("__sel_url"), "inner")
+      .select(col("_1"), col("warc_ts").as("_2"), col("html").as("_3"))
+      .as[(Task, java.sql.Timestamp, Array[Byte])]
+    val hits = hook(matched.map { case (t, ts, html) =>
+      val hash = graft.url.UrlCanon.md5Hex(
+        java.util.Base64.getEncoder.encodeToString(html))
+      if (t.fetch.etag != null && t.fetch.etag == hash) {
+        (t, FetchedPage(t.url, 304, Array.emptyByteArray, null, "", hash,
+          ts.getTime, null))
+      } else {
+        val (text, enc) = graft.process.HtmlLite.decodeAuto(html)
+        (t, FetchedPage(t.url, 200, html, enc, text, hash, ts.getTime, null))
+      }
+    })
+    val hitKeys = hits.select(col("_1.taskid").as("taskid"))
+    val misses = selected
+      .join(broadcast(hitKeys), Seq("taskid"), "left_anti").as[Task]
+      .map { t =>
         (t, FetchedPage(t.url, statusCode = 599, html = Array.emptyByteArray,
           encoding = null, text = "", contentHash = null, warcTs = 0L,
           error = "HTTP 599: corpus miss"))
-      case (t, p) =>
-        val hash = graft.url.UrlCanon.md5Hex(
-          java.util.Base64.getEncoder.encodeToString(p.html))
-        if (t.fetch.etag != null && t.fetch.etag == hash) {
-          (t, FetchedPage(t.url, 304, Array.emptyByteArray, null, "", hash,
-            p.warc_ts.getTime, null))
-        } else {
-          val (text, enc) = graft.process.HtmlLite.decodeAuto(p.html)
-          (t, FetchedPage(t.url, 200, p.html, enc, text, hash,
-            p.warc_ts.getTime, null))
-        }
-    }
+      }
+    hits.union(misses)
   }
 }

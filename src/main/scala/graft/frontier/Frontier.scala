@@ -39,11 +39,12 @@ object Frontier {
   def reactivateTimeouts(live: Dataset[Task], now: Double, timeout: Double)
                         (implicit spark: SparkSession): Dataset[Task] = {
     import spark.implicits._
-    live.map { t =>
-      if (t.status == Status.Processing && t.selected_at < now - timeout)
-        t.copy(status = Status.Active)
-      else t
-    }
+    // pure column rewrite — stays inside whole-stage codegen, no
+    // deserialize/reserialize of the frontier
+    live.withColumn("status",
+      when(col("status") === Status.Processing &&
+        col("selected_at") < now - timeout, lit(Status.Active))
+        .otherwise(col("status"))).as[Task]
   }
 
   /** Robots gate (north-rule scope; the reference has no robots handling —
@@ -91,22 +92,45 @@ object Frontier {
       coalesce(col("proj_tokens"), lit(cfg.burst)) + lit(cfg.rate * dt))
     val perProjectCap = math.max(1, cfg.loopLimit / 10) // scheduler.py:419
 
-    val ranked = withEffectivePriority(dueTasks, cfg.depthLimit)
+    val joined = withEffectivePriority(dueTasks, cfg.depthLimit)
       .join(broadcast(hostTokens.withColumnRenamed("tokens", "host_tokens")),
         Seq("host"), "left_outer")
       .join(broadcast(projTokens.withColumnRenamed("tokens", "proj_tokens")),
         Seq("project"), "left_outer")
+
+    // SKEW DEFUSE (SURVEY §4): with a hot domain holding ~30% of the
+    // frontier, Window.partitionBy(host) puts millions of rows in one
+    // partition. When the budget is small enough for salting to pay, rank
+    // per (host, salt) first and keep only each salt's top `budget` rows —
+    // the final exact per-host rank then sees ≤ SALT×budget rows per host.
+    // Pure pre-trim: rows beyond the per-salt budget can never be within
+    // the per-host budget, so the final selection is unchanged.
+    val SALT = 16
+    val preTrimmed =
+      if (cfg.hostBurst <= 100_000) {
+        joined
+          .withColumn("__salt", pmod(hash(col("taskid")), lit(SALT)))
+          .withColumn("__r0", row_number().over(
+            Window.partitionBy("host", "__salt").orderBy(selectOrder: _*)))
+          .filter(col("__r0") <= ceil(hostBudget))
+          .drop("__salt", "__r0")
+      } else joined
+
+    val ranked = preTrimmed
       .withColumn("host_rank",
         row_number().over(Window.partitionBy("host").orderBy(selectOrder: _*)))
       .withColumn("proj_rank",
         row_number().over(Window.partitionBy("project").orderBy(selectOrder: _*)))
 
-    ranked
+    val budgeted = ranked
       .filter(col("host_rank") <= floor(hostBudget) &&
         col("proj_rank") <= least(floor(projBudget), lit(perProjectCap)))
-      .orderBy(selectOrder: _*)
-      .limit(cfg.loopLimit) // global LOOP_LIMIT cap (scheduler.py:38)
-      .drop("host_rank", "proj_rank", "host_tokens", "proj_tokens", "eff_priority")
+    // global LOOP_LIMIT cap (scheduler.py:38) — a TOTAL sort; skipped when
+    // the cap cannot bind (per-project caps already bound the batch)
+    val capped =
+      if (cfg.loopLimit.toLong >= Int.MaxValue / 2) budgeted
+      else budgeted.orderBy(selectOrder: _*).limit(cfg.loopLimit)
+    capped.drop("host_rank", "proj_rank", "host_tokens", "proj_tokens", "eff_priority")
   }
 
   /** Post-selection token consumption: the carry for the next round.
@@ -144,18 +168,27 @@ object Frontier {
     *
     * The reference's per-task point-get + on_new/on_old branch
     * (scheduler.py:318-327,724-773) becomes ONE set-oriented pass:
-    * full-outer join live vs candidates (the MERGE), plus a left join of the
-    * remaining new candidates against the archive's latest row per key to
-    * decide insert vs re-crawl vs drop.
+    * full-outer join live vs candidates (the MERGE), then the remaining new
+    * candidates are checked against the SEEN-SET:
     *
-    * `archiveLatest` must hold at most one row per (project, taskid) —
-    * see [[SeenSet.latest]].
+    *  1. bloom pre-filter (north rule): candidates the bloom rejects are
+    *     definitely-new → inserted with NO archive access at all;
+    *  2. possible hits are confirmed exactly: the archive log is
+    *     left-semi-joined against the BROADCAST candidate keys (map-side,
+    *     never shuffles the 10^10-row archive), reduced to latest-per-key,
+    *     then joined to decide insert vs re-crawl (D4) vs drop.
+    *
+    * `archive` is the raw append-only log; `persistHook` lets the caller
+    * cache the intermediate that is consumed by multiple branches.
     *
     * Returns the new live set (old rows + restarted rows + inserts).
     */
   def mergeIntoLive(live: Dataset[Task], cands: Dataset[Task],
-                    archiveLatest: Dataset[Task], now: Double, round: Long,
-                    depthLimit: Int)(implicit spark: SparkSession): Dataset[Task] = {
+                    archive: Dataset[Task],
+                    bloom: Option[org.apache.spark.util.sketch.BloomFilter],
+                    now: Double, round: Long, depthLimit: Int,
+                    persistHook: Dataset[Task] => Dataset[Task] = identity)
+                   (implicit spark: SparkSession): Dataset[Task] = {
     import spark.implicits._
 
     def restartWanted(old: Task, nw: Task): Boolean = {
@@ -165,45 +198,93 @@ object Frontier {
     }
     // D4 restart (scheduler.py:737-773): ACTIVE again, depth = min(old, new),
     // schedule replaced by the new task's, track/lastcrawltime preserved.
+    // F2 conditional fetch (tornado_fetcher.py:296-314): the re-crawl carries
+    // the last success's content hash as its ETag so unchanged pages 304.
     def restart(old: Task, nw: Task): Task = nw.copy(
       status = Status.Active,
       depth = math.min(old.depth, nw.depth),
       track = old.track,
+      fetch = nw.fetch.copy(etag = old.track.fetch.content_hash),
       lastcrawltime = old.lastcrawltime,
       updatetime = now,
       seq = old.seq)
 
-    val keyCond = live("project") === cands("project") && live("taskid") === cands("taskid")
-    // NOTE: restarted / kept rows retain their original seq (< round); only
-    // provisional inserts carry seq == round, which tags them for the
-    // archive confirmation below (a row inserted this round cannot also be
-    // matched in this merge, so the tag is unambiguous).
-    val merged = live.joinWith(cands, keyCond, "full_outer").map {
+    // SHUFFLE DISCIPLINE: join strategies are left to AQE — when the
+    // candidate batch is politeness-bounded (the production shape) every
+    // join below becomes a broadcast build over the streamed live/archive
+    // side; when a BFS bench round explodes to millions of follows AQE
+    // falls back to co-partitioned shuffles (at cluster scale the live and
+    // archive tables are bucketed by (project, taskid), making those
+    // shuffles coincide with storage partitioning):
+    //   (a) matched-update pass: live ⟕ cands;
+    //   (b) matched keys: live ⋉ cand keys;
+    //   (c) inserts: cands ▷ matched keys;
+    //   (d) seen-set: bloom pre-filter, then archive ⋉ maybe-seen keys.
+    val candsP = persistHook(cands)
+    val keyCond = live("project") === candsP("project") && live("taskid") === candsP("taskid")
+
+    // (a) D2/D4 on rows already in the queue (scheduler.py:303-311)
+    val updatedLive = live.joinWith(candsP, keyCond, "left_outer").map {
       case (old, null) => old
-      case (null, nw)  => nw.copy(seq = round) // provisional insert — confirm vs archive below
       case (old, nw) =>
-        // in-queue dedup D2 (scheduler.py:303-311): pending row wins unless restart
         if (old.status == Status.Active || old.status == Status.Processing) {
           if (nw.schedule.force_update) restart(old, nw) else old
         } else if (restartWanted(old, nw)) restart(old, nw) else old
     }
 
-    // split: rows that were provisional inserts still need the archive check
-    val inserts = merged.filter(_.seq == round)
-    val kept = merged.filter(_.seq != round)
+    // (b)/(c) candidates that are NOT pending → provisional inserts
+    val candKeys = candsP.select("project", "taskid")
+    val matchedKeys = live.join(candKeys, Seq("project", "taskid"), "left_semi")
+      .select("project", "taskid")
+    val inserts = candsP.toDF()
+      .join(matchedKeys, Seq("project", "taskid"), "left_anti")
+      .as[Task].map(_.copy(seq = round))
 
-    val archCond = inserts("project") === archiveLatest("project") &&
-      inserts("taskid") === archiveLatest("taskid")
-    val confirmed = inserts.joinWith(archiveLatest, archCond, "left_outer").flatMap {
-      case (nw, null) => Some(nw) // truly new → on_new_request (insert)
-      case (nw, old)  => // seen before → on_old_request: re-crawl only if D4 says so
-        if (restartWanted(old, nw)) Some(restart(old, nw)) else None
-    }
+    // (d) D2 bloom pre-filter: definitely-new rows skip the archive entirely
+    val (defNew, maybeSeen0) = SeenSet.splitByBloom(inserts, bloom)
+    val maybeSeen = persistHook(maybeSeen0)
 
+    // exact confirm: archive semi-joined on BROADCAST candidate keys — the
+    // big side is filtered map-side, no archive shuffle
+    val maybeKeys = maybeSeen.select("project", "taskid")
+    val matchedArchive = SeenSet.latest(
+      archive.join(maybeKeys, Seq("project", "taskid"), "left_semi").as[Task])
+
+    val archCond = maybeSeen("project") === matchedArchive("project") &&
+      maybeSeen("taskid") === matchedArchive("taskid")
+    val confirmed = maybeSeen.joinWith(matchedArchive, archCond, "left_outer")
+      .flatMap {
+        case (nw, null) => Some(nw) // truly new (bloom false positive) → insert
+        case (nw, old)  => // seen before → on_old_request: re-crawl only if D4 says so
+          if (restartWanted(old, nw)) Some(restart(old, nw)) else None
+      }
+
+    val fresh = defNew.union(confirmed)
     val guarded = // P11 depth guard (base_handler.py:481-494)
-      if (depthLimit == -1) confirmed else confirmed.filter(_.depth <= depthLimit)
+      if (depthLimit == -1) fresh else fresh.filter(_.depth <= depthLimit)
 
-    kept.union(guarded)
+    updatedLive.union(guarded)
+  }
+
+  /** Both politeness-bucket carries in one shuffle: selected is exploded to
+    * (kind, key) pairs, aggregated once, and full-outer-merged with the
+    * previous unified carry table. */
+  def consumedTokensUnified(selected: DataFrame, prevUnified: DataFrame,
+                            hostRate: Double, hostBurst: Double,
+                            projRate: Double, projBurst: Double,
+                            dt: Double): DataFrame = {
+    val pairs = selected.select(explode(array(
+      struct(lit("host").as("kind"), col("host").as("key")),
+      struct(lit("proj").as("kind"), col("project").as("key")))).as("kk"))
+      .select(col("kk.kind").as("kind"), col("kk.key").as("key"))
+    val rate = when(col("kind") === "host", hostRate).otherwise(projRate)
+    val burst = when(col("kind") === "host", hostBurst).otherwise(projBurst)
+    pairs.groupBy("kind", "key").agg(count(lit(1)).as("consumed"))
+      .join(prevUnified, Seq("kind", "key"), "full_outer")
+      .select(col("kind"), col("key"),
+        least(burst, greatest(lit(0.0),
+          coalesce(col("tokens"), burst) + rate * dt -
+            coalesce(col("consumed"), lit(0)))).as("tokens"))
   }
 
   /** O11/O12/O13 — apply the round's status packs to the live set
@@ -212,9 +293,12 @@ object Frontier {
     *  - failure with retries left → retry with backoff ladder (O11);
     *  - exhausted → FAILED (archived).
     */
-  def applyStatus(live: Dataset[Task], packs: Dataset[StatusPack], now: Double)
+  def applyStatus(live: Dataset[Task], packs: Dataset[StatusPack], now: Double,
+                  persistHook: Dataset[Task] => Dataset[Task] = identity)
                  (implicit spark: SparkSession): (Dataset[Task], Dataset[Task]) = {
     import spark.implicits._
+    // packs are bounded by the round's selection; AQE broadcasts them when
+    // small so the live frontier streams map-side
     val cond = live("project") === packs("project") && live("taskid") === packs("taskid")
     val updated = live.joinWith(packs, cond, "left_outer").map {
       case (t, null) => t
@@ -250,9 +334,11 @@ object Frontier {
               lastcrawltime = now, updatetime = now)
         }
     }
-    val archived = updated.filter(t =>
+    // cache the PARENT once; the two status-split views are cheap filters
+    val updatedP = persistHook(updated)
+    val archived = updatedP.filter(t =>
       t.status == Status.Success || t.status == Status.Failed || t.status == Status.Bad)
-    val newLive = updated.filter(t =>
+    val newLive = updatedP.filter(t =>
       t.status == Status.Active || t.status == Status.Processing)
     (newLive, archived)
   }

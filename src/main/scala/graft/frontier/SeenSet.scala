@@ -24,13 +24,18 @@ import graft.model.Task
   */
 object SeenSet {
 
-  /** At most one (latest) archive row per (project, taskid). */
+  /** At most one (latest) archive row per (project, taskid).
+    * Aggregation (map-side partial reduce) rather than a window — a window
+    * would shuffle every archive row; reduceGroups combines per partition
+    * first, so the exchange only carries one row per key per partition. */
   def latest(archive: Dataset[Task])(implicit spark: SparkSession): Dataset[Task] = {
     import spark.implicits._
-    val w = Window.partitionBy("project", "taskid")
-      .orderBy(col("updatetime").desc, col("status").desc)
-    archive.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn").as[Task]
+    archive.groupByKey(t => (t.project, t.taskid))
+      .reduceGroups { (a, b) =>
+        if (a.updatetime > b.updatetime ||
+          (a.updatetime == b.updatetime && a.status >= b.status)) a else b
+      }
+      .map(_._2)
   }
 
   /** Build a driver-side bloom over archive taskids when the archive is

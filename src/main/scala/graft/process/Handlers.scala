@@ -84,8 +84,10 @@ object Handlers {
     })
 
   /** BFS crawler: every page's links are followed with the same callback and
-    * every page emits {url, title, text} — the whole-graph workload used by
-    * the BFS-reachability oracle and the bench. */
+    * every page emits the training-data record a web-scale pipeline would
+    * keep — url, title, extracted text stats (tokens, quality ratios,
+    * lang-ID, simhash, fingerprint). This is the whole-graph workload used
+    * by the BFS-reachability oracle and the bench. */
   val bfs: Map[String, Handler] = Map(
     "bfs_page" -> new Handler {
       def onPage(task: Task, page: FetchedPage): HandlerResult = {
@@ -93,9 +95,15 @@ object Handlers {
           return HandlerResult(ok = false, exception = s"HTTP ${page.statusCode}")
         val links = HtmlLite.extractLinks(page.text, page.url)
         val title = HtmlLite.extractTitle(page.text)
+        val text = HtmlLite.extractText(page.text)
+        val st = graft.functions.TextStats.analyze(text)
+        val fp = graft.functions.TextStats.fingerprint(text)
         HandlerResult(
           follows = links.map(u => FollowSpec(u, callback = "bfs_page")),
-          result = s"""{"url": ${jsonStr(page.url)}, "title": ${jsonStr(title)}}""")
+          result = s"""{"url": ${jsonStr(page.url)}, "title": ${jsonStr(title)},""" +
+            s""" "n_chars": ${st.nChars}, "n_tokens": ${st.nTokens},""" +
+            f""" "stop_ratio": ${st.stopRatio}%.6f, "avg_word_len": ${st.avgWordLen}%.4f,""" +
+            s""" "lang": "${st.lang}", "simhash16": ${st.simhash16}, "fingerprint": $fp}""")
       }
     })
 

@@ -53,14 +53,29 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
   def readLive(n: Long): Dataset[Task] =
     spark.read.parquet(s"${roundDir(n)}/live").as[Task]
 
+  /** Both bucket tables in ONE write (a `kind` discriminator column) —
+    * halves the per-round commit jobs. */
   def writeTokens(n: Long, host: DataFrame, proj: DataFrame): Unit = {
-    host.write.mode(SaveMode.Overwrite).parquet(s"${roundDir(n)}/host_tokens")
-    proj.write.mode(SaveMode.Overwrite).parquet(s"${roundDir(n)}/proj_tokens")
+    import org.apache.spark.sql.functions.lit
+    host.selectExpr("host as key", "tokens").withColumn("kind", lit("host"))
+      .union(proj.selectExpr("project as key", "tokens").withColumn("kind", lit("proj")))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"${roundDir(n)}/tokens")
   }
 
-  def readTokens(n: Long): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"${roundDir(n)}/host_tokens"),
-      spark.read.parquet(s"${roundDir(n)}/proj_tokens"))
+  /** Unified (kind, key, tokens) carry written as-is. */
+  def writeTokensUnified(n: Long, unified: DataFrame): Unit =
+    unified.write.mode(SaveMode.Overwrite).parquet(s"${roundDir(n)}/tokens")
+
+  def readTokensUnified(n: Long): DataFrame =
+    spark.read.parquet(s"${roundDir(n)}/tokens")
+
+  def readTokens(n: Long): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val t = spark.read.parquet(s"${roundDir(n)}/tokens")
+    (t.filter(col("kind") === "host").select(col("key").as("host"), col("tokens")),
+      t.filter(col("kind") === "proj").select(col("key").as("project"), col("tokens")))
+  }
 
   def appendArchive(n: Long, delta: Dataset[Task]): Unit =
     delta.write.mode(SaveMode.Overwrite).parquet(s"$root/archive/round=$n")

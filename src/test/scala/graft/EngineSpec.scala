@@ -160,6 +160,33 @@ class EngineSpec extends AnyFunSuite {
     assert(fetched === oracle.keys.toSet -- privUrls)
   }
 
+  test("cron @every re-injects seeds; re-crawl of unchanged pages 304s (F2)") {
+    val ckpt = Files.createTempDirectory("graft_cron_spec").toString
+    val seeds = CorpusGen.seeds(H)
+    val eng = new CrawlEngine(corpus, EngineConfig(
+      project = ProjectConfig("test", rate = 1e9, burst = 1e9,
+        hostRate = 1e9, hostBurst = 1e9, loopLimit = Int.MaxValue / 2,
+        depthLimit = -1),
+      seedCallback = "bfs_page", roundDt = 30.0, checkpointDir = ckpt,
+      cronEverySec = 300, seeds = seeds)) // tick every 10 rounds
+    // run past quiescence: the cron tick at now=300 re-seeds with
+    // force_update → D4 restart → conditional fetch (etag) → 304s
+    var n = eng.initOrResume(seeds)
+    (1 to 14).foreach { i => n += 1; eng.runRound(n) }
+    val m = eng.metricsDF()
+    import org.apache.spark.sql.functions._
+    val m304 = m.agg(sum("fetch_304")).head().getLong(0)
+    val firstQuiet = m.filter(col("selected") === 0).agg(min("round")).head().getLong(0)
+    val reSelected = m.filter(col("round") > firstQuiet).agg(sum("selected")).head().getLong(0)
+    assert(reSelected > 0, "cron tick did not re-inject seeds")
+    assert(m304 > 0, "re-crawl of unchanged pages did not produce 304s")
+    // exported results (S9) parse as JSON lines with lifted columns
+    val exp = Files.createTempDirectory("graft_export").toString + "/out"
+    eng.exportResults(exp, "json")
+    val back = spark.read.json(exp)
+    assert(back.count() > 0 && back.columns.contains("title"))
+  }
+
   test("engine is deterministic: two runs produce identical archives") {
     val e1 = freshEngine(); val e2 = freshEngine()
     e1.crawl(CorpusGen.seeds(H), maxRounds = 40)
