@@ -68,7 +68,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "600000").toLong
+    // default sized to run inside the sbt-run heap (8g): corpus cache +
+    // per-round hit caches; raise via env (BENCH/BASELINE.md used 1M at 24g)
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "300000").toLong
     val benchHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "64").toInt
     val benchBranch = sys.env.getOrElse("SPARK_GRAFT_BENCH_BRANCH", "16").toInt
 
