@@ -11,8 +11,21 @@ import graft.process.{FetchedPage, Handler, Handlers, HtmlLite}
 import graft.store.SnapshotStore
 import graft.url.UrlCanon
 
-/** Engine configuration — one "project" per reference semantics; the loop
-  * itself is project-agnostic (everything keys on the `project` column). */
+/** One project's full declaration (reference scheduler projects dict,
+  * pyspider-master/pyspider/scheduler/scheduler.py:90-149 + INI configs,
+  * libs/read_project_config.py:55-160): config knobs + seeds + compiled
+  * callbacks. Per-project callbacks override the engine registry. */
+case class ProjectSpec(
+    config: ProjectConfig,
+    seeds: Seq[String] = Nil,
+    seedCallback: String = "bfs_page",
+    cronEverySec: Long = 0L, // O10: @every interval in logical secs; 0 = off
+    callbacks: Map[String, Handler] = Map.empty)
+
+/** Engine configuration. Single-project fields (project/seeds/seedCallback/
+  * cronEverySec) remain for the common case; `projects` switches the engine
+  * to multi-project mode (per-project rate/burst/depth/caps/callbacks —
+  * scheduler.py:124-125 wires rate/burst per project). */
 case class EngineConfig(
     project: ProjectConfig = ProjectConfig("default"),
     callbacks: Map[String, Handler] = Handlers.registry,
@@ -24,7 +37,17 @@ case class EngineConfig(
     bloomMinRows: Long = 100_000L, // below this the exact join is cheaper
     bloomExpected: Long = 4_000_000L, // sizing; identical for all merges
     cronEverySec: Long = 0L, // O10: @every interval in logical secs; 0 = off
-    seeds: Seq[String] = Nil) // re-injected by each due cron tick
+    seeds: Seq[String] = Nil, // re-injected by each due cron tick
+    projects: Seq[ProjectSpec] = Nil, // multi-project mode when non-empty
+    // size gate for the fetch join's build-side broadcast: when the previous
+    // round's live count exceeds this AND no politeness bound caps the batch,
+    // the join strategy is left to AQE instead of a forced broadcast
+    // (a 10^8-row BFS-explosion batch must never hit the 8 GB limit)
+    broadcastFetchMax: Long = 2_000_000L) {
+  def allProjects: Seq[ProjectSpec] =
+    if (projects.nonEmpty) projects
+    else Seq(ProjectSpec(project, seeds, seedCallback, cronEverySec))
+}
 
 case class RoundStats(round: Long, now: Double, selected: Long, newLive: Long,
                       archived: Long, results: Long, wallSec: Double = 0.0)
@@ -38,9 +61,9 @@ case class ProcessOut(status: StatusPack, follows: Seq[Task], result: ResultRow)
   * becomes one deterministic batch ROUND — a single Dataset DAG from
   * frontier snapshot to frontier snapshot (SURVEY §3.1 restatement):
   *
-  *   candidates = follows ∪ seeds → dedup/merge (D1-D6) → MERGE live
+  *   candidates = follows ∪ seeds ∪ control → dedup/merge (D1-D6) → MERGE live
   *   select (O2-O7 windows/filters) → fetch (corpus join, S4)
-  *   → process mapPartitions (P1-P14) → (statusΔ, follows′, results)
+  *   → process mapPartitions (P1-P14, P15 messages) → (statusΔ, follows′, results)
   *   → snapshot commit (checkpoint/resume).
   *
   * No wall clock anywhere inside jobs: `now = round * roundDt`.
@@ -51,6 +74,38 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
 
   val store = new SnapshotStore(cfg.checkpointDir)
   val fetcher: FetchService = new CorpusFetcher(corpus)
+
+  // ---- per-project wiring (driver-known, tiny) --------------------------
+  private val specs = cfg.allProjects
+  private val configs = specs.map(_.config)
+  private val headCfg = configs.head
+  private val cbByProject: Map[String, Map[String, Handler]] =
+    specs.map(s => s.config.name -> (cfg.callbacks ++ s.callbacks)).toMap
+  // P11 per-project depth limits (only bounded ones; absent = unlimited)
+  private val depthLimits: Map[String, Int] =
+    configs.filter(_.depthLimit != -1).map(c => c.name -> c.depthLimit).toMap
+  private val timeouts: Map[String, Any] =
+    configs.map(c => c.name -> c.processingTimeout).toMap
+  private val robotsRespect: Map[String, Any] =
+    configs.map(c => c.name -> c.respectRobots).toMap
+  private val anyRobots = configs.exists(_.respectRobots)
+  private val inqueueLimits: Map[String, Any] = // O9; only bounded projects
+    configs.filter(_.inqueueLimit > 0).map(c => c.name -> c.inqueueLimit).toMap
+  private val followFilters: Map[String, (Set[String], String)] = configs // P7
+    .filter(c => c.allowDomains.nonEmpty || c.denyPattern != null)
+    .map(c => c.name -> (c.allowDomains.toSet, c.denyPattern)).toMap
+  private val saveHtmlProjects: Set[String] = // S8
+    configs.filter(_.saveHtml).map(_.name).toSet
+  private val maxTimeout = configs.map(_.processingTimeout).max
+  private val globalLoopLimit = configs.map(_.loopLimit).max
+  /** hard cap on a round's selection implied by per-project fairness caps;
+    * MaxValue when any project is unbounded. */
+  private val politenessBound: Long = {
+    val caps = configs.map(c =>
+      if (c.loopLimit >= Int.MaxValue / 2) Long.MaxValue
+      else math.max(1L, (c.loopLimit / 10).toLong))
+    if (caps.contains(Long.MaxValue)) Long.MaxValue else caps.sum
+  }
 
   /** Incremental URL-seen bloom over archive taskids (north rule): built
     * once at init/resume, then each round's archive delta is OR-ed in
@@ -88,11 +143,16 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     spark.createDataFrame(rows.toSeq).toDF("host", "disallow_prefixes")
   }
 
-  def seedTasks(urls: Seq[String]): Dataset[Task] = {
+  private def seedsFor(spec: ProjectSpec, fallback: Seq[String]): Seq[String] =
+    if (spec.seeds.nonEmpty) spec.seeds
+    else if (specs.size == 1) fallback
+    else Nil
+
+  def seedTasks(spec: ProjectSpec, urls: Seq[String]): Dataset[Task] = {
     // Scheduler.add_seed semantics (scheduler.py:593-614): md5 taskid,
     // force_update, depth 0, ACTIVE.
-    val project = cfg.project.name
-    val cb = cfg.seedCallback
+    val project = spec.config.name
+    val cb = spec.seedCallback
     spark.createDataset(urls).map { u =>
       val canon = UrlCanon.canonicalize(u)
       Task(taskid = UrlCanon.taskId(canon), project = project, url = canon,
@@ -102,8 +162,11 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     }
   }
 
-  private def emptyTokens(key: String): DataFrame =
-    Seq.empty[(String, Double)].toDF(key, "tokens")
+  def seedTasks(urls: Seq[String]): Dataset[Task] = seedTasks(specs.head, urls)
+
+  private def allSeedTasks(fallback: Seq[String]): Dataset[Task] =
+    specs.map(s => seedTasks(s, seedsFor(s, fallback)))
+      .reduceOption(_ union _).getOrElse(spark.emptyDataset[Task])
 
   /** Initialize round 0 from seeds, or resume from the last committed
     * snapshot (north rule: killed job resumes mid-crawl). */
@@ -113,27 +176,29 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
         store.truncateAfter(n) // clear any torn round n+1 garbage
         n
       case None =>
-        val live = seedTasks(seeds)
+        val live = allSeedTasks(seeds)
         store.writeLive(0, live)
-        store.writeTokens(0, emptyTokens("host"), emptyTokens("project"))
+        store.writeTokensUnified(0,
+          Seq.empty[(String, String, Double)].toDF("kind", "key", "tokens"))
         val liveRows = store.readLive(0).count()
         store.commit(0, 0.0, liveRows, 0, 0, 0, 0, Seq("live" -> liveRows))
         0L
     }
   }
 
-  /** P9 callback dispatch + P10 follow construction + P14 status assembly —
-    * one typed pass over the fetch output. */
+  /** P9 callback dispatch + P10 follow construction + P14 status assembly +
+    * P15 message dispatch — one typed pass over the fetch output
+    * (processor.py:109-211; messages :183-199 run in the SAME pass against
+    * the target project's `_on_message` callback with a synthetic 200). */
   def process(fetched: Dataset[(Task, FetchedPage)], now: Double): Dataset[ProcessOut] = {
-    val callbacks = cfg.callbacks
-    val project = cfg.project.name
-    val okResult = graft.process.HandlerResult() // local: avoid capturing `this`
+    val cbs = cbByProject // local: avoid capturing `this`
+    val okResult = graft.process.HandlerResult()
     fetched.mapPartitions { it =>
-      it.map { case (task, page) =>
+      it.flatMap { case (task, page) =>
         val fetchOk = page.statusCode == 200 || page.statusCode == 304
         val (hr, skipped) =
           if (page.statusCode == 304) (okResult, true) // P9 304 short-circuit
-          else callbacks.get(task.process.callback) match {
+          else cbs.getOrElse(task.project, Map.empty).get(task.process.callback) match {
             case Some(h) =>
               try (h.onPage(task, page), false)
               catch { case e: Exception =>
@@ -145,21 +210,102 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
                 exception = s"unknown callback: ${task.process.callback}"), false)
           }
         val follows = if (skipped) Nil else hr.follows.map(f =>
-          Handlers.mkTask(task, f, now, project))
+          Handlers.mkTask(task, f, now, task.project))
         val status = StatusPack(
           taskid = task.taskid, project = task.project,
           fetchOk = fetchOk, statusCode = page.statusCode, fetchTime = 0.0,
           encoding = page.encoding, contentHash = page.contentHash,
           fetchError = page.error,
           processOk = fetchOk && hr.ok, processTime = 0.0,
-          follows = follows.size, exception = hr.exception)
+          follows = follows.size, exception = hr.exception,
+          redirectUrl = if (page.url != task.url && page.statusCode == 200)
+            page.url else null)
         val result =
           if (hr.result != null)
             ResultRow(task.taskid, task.project, task.url, hr.result, now)
           else null
-        ProcessOut(status, follows, result)
+        val mainOut = ProcessOut(status, follows, result)
+        // P15 — send_message: dispatch to the TARGET project's `_on_message`
+        // here and now (processor.py:183-199 calls on_task synchronously
+        // with a synthetic 200 carrying (from_project, msg) in save).
+        // Its status pack keys on md5('data:,on_message') which never
+        // matches a live row, so it flows through applyStatus as a no-op —
+        // the reference's @not_send_status analog.
+        val msgOuts = hr.messages.flatMap { case (toProj, msg) =>
+          val murl = "data:,on_message"
+          val mTask = Task(taskid = UrlCanon.md5Hex(murl), project = toProj,
+            url = murl, status = Status.Active, host = "", depth = 0,
+            process = ProcessOpts(callback = "_on_message"))
+          val mPage = FetchedPage(murl, 200, Array.emptyByteArray, "utf-8", "",
+            null, 0L, null,
+            save = s"""{"from": ${Handlers.jsonStr(task.project)}, "msg": $msg}""")
+          cbs.getOrElse(toProj, Map.empty).get("_on_message").map { h =>
+            val r = try h.onPage(mTask, mPage)
+              catch { case e: Exception =>
+                graft.process.HandlerResult(ok = false,
+                  exception = s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+            val mFollows = r.follows.map(f => Handlers.mkTask(mTask, f, now, toProj))
+            ProcessOut(
+              StatusPack(mTask.taskid, toProj, fetchOk = true, statusCode = 200,
+                fetchTime = 0.0, encoding = "utf-8", contentHash = null,
+                fetchError = null, processOk = r.ok, processTime = 0.0,
+                follows = mFollows.size, exception = r.exception,
+                redirectUrl = null),
+              mFollows,
+              if (r.result != null) ResultRow(mTask.taskid, toProj, murl, r.result, now)
+              else null)
+          }
+        }
+        Iterator.single(mainOut) ++ msgOuts
       }
     }
+  }
+
+  /** P7 — allow/deny follow filters (reference spider/lxml_extractor.py:
+    * 92-123), per project; compiled once per partition. */
+  private def applyFollowFilters(follows: Dataset[Task]): Dataset[Task] =
+    if (followFilters.isEmpty) follows
+    else {
+      val filters = followFilters
+      follows.mapPartitions { it =>
+        val compiled = filters.map { case (p, (allow, deny)) =>
+          p -> (allow, Option(deny).map(java.util.regex.Pattern.compile)) }
+        it.filter { t =>
+          compiled.get(t.project).forall { case (allow, denyP) =>
+            (allow.isEmpty || allow.contains(t.host)) &&
+              denyP.forall(dp => !dp.matcher(t.url).find())
+          }
+        }
+      }
+    }
+
+  /** O9 — INQUEUE_LIMIT (scheduler.py:41,314-316): while a project's pending
+    * queue is at/over its limit, non-forced new candidates are dropped. */
+  private def applyInqueueLimit(cands: Dataset[Task], live: Dataset[Task]): Dataset[Task] =
+    if (inqueueLimits.isEmpty) cands
+    else {
+      val pend = live.groupBy("project").agg(count(lit(1)).as("__pending"))
+      val limCol = Frontier.perProject(inqueueLimits, 0)
+      cands.toDF().join(broadcast(pend), Seq("project"), "left_outer")
+        .filter(col("schedule.force_update") || limCol <= 0 ||
+          coalesce(col("__pending"), lit(0L)) < limCol)
+        .drop("__pending").as[Task]
+    }
+
+  /** O14 — restart archived tasks of `project` with status in `statuses` as
+    * force_update control candidates for the NEXT round
+    * (scheduler.py:577-591: skip still-pending tasks and data:/curl: urls). */
+  def restartByStatus(project: String, statuses: Set[Int]): Long = {
+    val n = store.lastCommitted().getOrElse(0L)
+    val liveKeys = store.readLive(n).select("project", "taskid")
+    val restart = SeenSet.latest(store.readArchive(n))
+      .filter(t => t.project == project && statuses.contains(t.status) &&
+        !t.url.startsWith("data:") && !t.url.startsWith("curl:"))
+      .toDF().join(liveKeys, Seq("project", "taskid"), "left_anti").as[Task]
+      .map(t => t.copy(status = Status.Active,
+        schedule = t.schedule.copy(force_update = true, retried = 0)))
+    store.writeControl(n + 1, restart)
+    store.readControl(n + 1).count()
   }
 
   private val phaseLog = sys.env.contains("GRAFT_PHASE_LOG")
@@ -179,7 +325,6 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
   def runRound(n: Long): RoundStats = {
     val now = n * cfg.roundDt
     val dt = cfg.roundDt
-    val p = cfg.project
     maybeInitBloom(n - 1)
     val cached = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
     def hook[T](d: Dataset[T]): Dataset[T] = {
@@ -190,11 +335,16 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     val (hostTok, projTok) = store.readTokens(n - 1)
     val archiveTotal = store.archiveTotalOf(n - 1)
 
-    // O4 requeue + robots gate, then O3 due / O2 priority / O5-O7 budgets
-    val live = hook(Frontier.applyRobots(
-      Frontier.reactivateTimeouts(live0, now, p.processingTimeout), robotsRules))
+    // O4 requeue + robots gate (per-project respectRobots — a disabled gate
+    // actually disables), then O3 due / O2 priority / O5-O7 budgets
+    val requeued = Frontier.reactivateTimeouts(live0, now, timeouts, maxTimeout)
+    val live = hook(
+      if (anyRobots) Frontier.applyRobots(requeued, robotsRules, robotsRespect)
+      else requeued)
     val dueNow = Frontier.due(live, now)
-    val selected = hook(Frontier.select(dueNow.toDF(), p, dt, hostTok, projTok).as[Task])
+    val selected = hook(Frontier.select(dueNow.toDF(), configs,
+      headCfg.hostRate, headCfg.hostBurst, globalLoopLimit,
+      dt, hostTok, projTok).as[Task])
 
     // mark selected rows PROCESSING (the reference's processing queue, O4)
     val selKeys = selected.select(col("project"), col("taskid")).withColumn("__sel", lit(true))
@@ -205,11 +355,17 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
         when(col("__sel"), lit(now)).otherwise(col("selected_at")))
       .drop("__sel").as[Task]
 
-    // fetch (S4) + process (P*)
-    val processed = hook(process(fetcher.fetch(selected, hook(_)), now))
+    // fetch (S4) + process (P*). The broadcast of the selected batch is
+    // SIZE-GATED: forced only when the politeness bound or the previous
+    // round's live count guarantees a small batch; else AQE picks the join.
+    val bcastHint = politenessBound <= cfg.broadcastFetchMax ||
+      store.liveRowsOf(n - 1).forall(_ <= cfg.broadcastFetchMax)
+    val fetchedRaw = fetcher.fetch(selected, hook(_), bcastHint)
+    val fetched = if (saveHtmlProjects.nonEmpty) hook(fetchedRaw) else fetchedRaw
+    val processed = hook(process(fetched, now))
 
     val packs = processed.map(_.status)
-    val follows = processed.flatMap(_.follows)
+    val follows = applyFollowFilters(processed.flatMap(_.follows))
     val results = processed.filter(_.result != null).map(_.result)
 
     // O11-O13: statuses → live'; terminal rows split off to the archive log.
@@ -218,27 +374,41 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
       Frontier.applyStatus(liveMarked, packs, now, hook(_))
 
     // O10 cron ticks (@every, scheduler.py:330-358): any tick in
-    // ((n-1)*dt, n*dt] divisible by the interval re-injects the seeds as
-    // force_update control candidates (the `_on_cronjob` → on_start path)
-    val cronCands: Dataset[Task] =
-      if (cfg.cronEverySec > 0 && cfg.seeds.nonEmpty && {
-        val lo = (n - 1) * dt; val hi = now
-        (lo.toLong / cfg.cronEverySec) != (hi.toLong / cfg.cronEverySec) ||
-          hi.toLong % cfg.cronEverySec == 0
-      }) seedTasks(cfg.seeds)
-      else spark.emptyDataset[Task]
+    // ((n-1)*dt, n*dt] divisible by a project's interval re-injects that
+    // project's seeds as force_update control candidates
+    def tickDue(everySec: Long): Boolean = {
+      val lo = (n - 1) * dt; val hi = now
+      (lo.toLong / everySec) != (hi.toLong / everySec) ||
+        hi.toLong % everySec == 0
+    }
+    val cronCands: Dataset[Task] = specs
+      .filter(s => s.cronEverySec > 0 && seedsFor(s, cfg.seeds).nonEmpty &&
+        tickDue(s.cronEverySec))
+      .map(s => seedTasks(s, seedsFor(s, cfg.seeds)))
+      .reduceOption(_ union _).getOrElse(spark.emptyDataset[Task])
 
-    // D1-D6 + P11: follows into the frontier, checked against the seen-set
-    // (bloom pre-filter + broadcast-semi-join against the archive log —
-    // the archive is never shuffled, see Frontier.mergeIntoLive)
-    val candidates = Frontier.mergeCandidates(follows.union(cronCands))
+    // operator control rows for this round (O14 restart-by-status)
+    val controlCands = store.readControl(n)
+
+    // D1-D6 + P7 + O9 + P11: follows into the frontier, checked against the
+    // seen-set (bloom pre-filter + broadcast-semi-join against the archive
+    // log INCLUDING this round's delta — the archive is never shuffled, see
+    // Frontier.mergeIntoLive)
+    val candidates = applyInqueueLimit(
+      Frontier.mergeCandidates(follows.union(cronCands).union(controlCands)),
+      liveAfterStatus)
     val newLive = hook(Frontier.mergeIntoLive(liveAfterStatus, candidates,
-      store.readArchive(n - 1), seenBloom, now, n, p.depthLimit, hook))
+      store.readArchive(n - 1), archiveDelta, seenBloom, now, n,
+      depthLimit = -1, hook, depthLimits))
 
-    // token carry (O5/O6 closed form) — one pass for both bucket kinds
+    // token carry (O5/O6 closed form) — one pass for both bucket kinds.
+    // Host politeness is GLOBAL (one bucket per host across projects,
+    // domain.py); project buckets use each project's own rate/burst via the
+    // budget recompute in Frontier.select, so the carry only records
+    // consumption against the head config's bounds.
     val tokensUnified = Frontier.consumedTokensUnified(
       selected.toDF(), store.readTokensUnified(n - 1),
-      p.hostRate, p.hostBurst, p.rate, p.burst, dt)
+      headCfg.hostRate, headCfg.hostBurst, headCfg.rate, headCfg.burst, dt)
 
     // ---- commit (manifest written last; see SnapshotStore) ---------------
     // Per-action driver planning is the fixed tax of a round, so counts ride
@@ -262,12 +432,12 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     // gapless per round, like the reference's 60 s counter dumps
     val metricRows0 =
       if (metricRows.nonEmpty) metricRows
-      else Array((cfg.project.name, 0L, 0L, 0L, 0L, 0L, 0L))
+      else Array((headCfg.name, 0L, 0L, 0L, 0L, 0L, 0L))
     val selectedCount = metricRows0.map(_._2).sum
     val resultRows = metricRows0.map(_._7).sum
 
-    // The four commit writes are independent — submit them CONCURRENTLY so
-    // their driver planning + job latencies overlap (the serial driver time
+    // The commit writes are independent — submit them CONCURRENTLY so their
+    // driver planning + job latencies overlap (the serial driver time
     // between jobs is the round's fixed tax; see tools.RoundProfile).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
@@ -282,7 +452,19 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
       if (resultRows < 100_000) results.toDF().coalesce(1) else results.toDF())))
     val fTok = Future(timed("writeTokens")(
       store.writeTokensUnified(n, tokensUnified.coalesce(1))))
-    Await.result(Future.sequence(Seq(fLive, fArch, fRes, fTok)), Duration.Inf)
+    // S8 raw-HTML sink for projects with save_html on
+    val fHtml =
+      if (saveHtmlProjects.isEmpty) Nil
+      else {
+        val keep = saveHtmlProjects
+        Seq(Future(timed("writeHtml")(store.appendHtml(n, fetched
+          .filter(x => keep.contains(x._1.project) && x._2.statusCode == 200)
+          .map { case (t, p) =>
+            (t.taskid, t.project, t.url, p.url, p.statusCode, p.contentHash, p.html) }
+          .toDF("taskid", "project", "url", "response_url", "status_code",
+            "content_hash", "html")))))
+      }
+    Await.result(Future.sequence(Seq(fLive, fArch, fRes, fTok) ++ fHtml), Duration.Inf)
     val liveRows = liveObs.get("rows").asInstanceOf[Long]
     val archRows = archObs.get("rows").asInstanceOf[Long]
 
@@ -296,7 +478,8 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
       .withColumn("results", lit(resultRows))
     timed("writeMetrics")(store.appendMetrics(n, metrics.coalesce(1)))
 
-    // fold this round's archived keys into the seen-bloom (incremental)
+    // fold this round's archived keys into the seen-bloom (incremental);
+    // same-round rediscovery is already exact via mergeIntoLive's delta check
     seenBloom.foreach { bf =>
       if (archRows > 0)
         bf.mergeInPlace(archiveDelta.toDF().stat
@@ -313,12 +496,19 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
 
   private val roundLog = sys.env.contains("GRAFT_ROUND_LOG")
 
-  /** Crawl until `maxRounds` or quiescence (nothing selected). Returns stats
-    * per executed round. */
+  /** Crawl until `maxRounds` or quiescence. A quiet round (nothing selected)
+    * only terminates the loop when no live row can ever become due within
+    * the remaining horizon — a retry past the first backoff step, a long
+    * cron gap, or an auto_recrawl re-arm keeps the loop alive, matching the
+    * reference scheduler's persistent loop (VERDICT r1: the backoff ladder
+    * beyond step 1 was unreachable via this API). Returns stats per round. */
   def crawl(seeds: Seq[String], maxRounds: Int): Seq[RoundStats] = {
     var n = initOrResume(seeds)
     val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStats]
     var quiet = false
+    val horizon = maxRounds * cfg.roundDt
+    val cronPending = specs.exists(s =>
+      s.cronEverySec > 0 && seedsFor(s, cfg.seeds).nonEmpty)
     while (!quiet && n < maxRounds) {
       n += 1
       val t0 = System.nanoTime()
@@ -328,7 +518,16 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
         f"[round ${s.round}%3d] selected=${s.selected}%7d live=${s.newLive}%7d " +
         f"archived=${s.archived}%7d results=${s.results}%7d ${s.wallSec}%6.2fs")
       stats += s
-      quiet = s.selected == 0
+      quiet = s.selected == 0 && !cronPending && (s.newLive == 0 || {
+        // earliest future due time over the live set: ACTIVE rows become due
+        // at exetime; PROCESSING rows at their timeout requeue. One tiny agg,
+        // only ever run on quiet rounds.
+        val minDue = store.readLive(n)
+          .select(min(when(col("status") === Status.Active, col("schedule.exetime"))
+            .otherwise(col("selected_at") + maxTimeout)))
+          .as[Option[Double]].head()
+        minDue.forall(_ > horizon)
+      })
     }
     stats.toSeq
   }
@@ -343,17 +542,30 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
 
   def resultsDF(): DataFrame = store.readResults()
   def metricsDF(): DataFrame = store.readMetrics()
+  def htmlDF(): DataFrame = store.readHtml()
 
   /** S9 result export (reference libs/result_dump.py:16-121): the common
     * fields of the JSON results are lifted to columns (schema inference —
-    * native here) and dumped as JSONL or CSV. */
+    * native here) and dumped as JSONL or CSV.
+    *
+    * The result log is append-only (re-crawls append one row per round), so
+    * rows are first reduced to the LATEST per (project, taskid) — resultdb
+    * upserts by taskid — and the JSON fields are lifted with `from_json` on
+    * the same row, never a join (VERDICT r1: the url-equality join fanned
+    * out quadratically once a url had two result rows). */
   def exportResults(path: String, format: String = "json"): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val raw = resultsDF()
-    val parsed = spark.read.json(raw.select("result").as[String])
-    val out = raw.drop("result")
-      .join(parsed.withColumnRenamed("url", "result_url"),
-        col("url") === col("result_url"), "left_outer")
-      .drop("result_url")
+    val latest = raw
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("project", "taskid").orderBy(col("updatetime").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val schema = spark.read.json(latest.select("result").as[String]).schema
+    val baseCols = raw.columns.filterNot(_ == "result")
+    val lifted = schema.fieldNames.filterNot(baseCols.contains)
+      .map(f => col(s"__parsed.`$f`").as(f))
+    val out = latest.withColumn("__parsed", from_json(col("result"), schema))
+      .select(baseCols.map(col) ++ lifted: _*)
     format match {
       case "json" => out.write.mode("overwrite").json(path)
       case "csv"  => out.write.mode("overwrite").option("header", "true").csv(path)

@@ -1,9 +1,9 @@
 package graft.fetch
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.{Page, Task}
+import graft.model.{FetchOpts, Page, ProcessOpts, Status, Task}
 import graft.process.FetchedPage
 
 /** Fetch abstraction (SURVEY S4): the reference's async curl pool
@@ -14,72 +14,206 @@ import graft.process.FetchedPage
   * without touching the round pipeline.
   */
 trait FetchService extends Serializable {
-  /** `hook` lets the caller cache intermediates consumed twice (round-scoped). */
-  def fetch(selected: Dataset[Task], hook: FetchService.Hook = identity _)
+  /** `hook` lets the caller cache intermediates consumed twice
+    * (round-scoped). `broadcastHint`: the caller asserts the selected batch
+    * is politeness-bounded (small) — broadcast it as the build side;
+    * when false the join strategy is left to AQE (a BFS-explosion round's
+    * 10^6+ row batch must not be forced through an 8 GB broadcast). */
+  def fetch(selected: Dataset[Task], hook: FetchService.Hook = identity _,
+            broadcastHint: Boolean = true)
            (implicit spark: SparkSession): Dataset[(Task, FetchedPage)]
 }
 object FetchService {
   type Hook = Dataset[(Task, FetchedPage)] => Dataset[(Task, FetchedPage)]
 }
 
+/** The 8 flat Task fields the fetch/process leg actually reads — projecting
+  * to this BEFORE the typed boundary keeps broadcasts and generated plans
+  * narrow (the full 40-field nested Task encoder produced ~1 MB task
+  * binaries, BENCH/BASELINE.md r1 item 2). */
+case class SlimTask(taskid: String, project: String, url: String,
+                    host: String, depth: Int, callback: String,
+                    save: String, etag: String) {
+  def toTask: Task = Task(
+    taskid = taskid, project = project, url = url, status = Status.Processing,
+    host = host, depth = depth,
+    fetch = FetchOpts(etag = etag, save = save),
+    process = ProcessOpts(callback = callback))
+}
+
 /** Corpus-backed fetcher.
   *
   * Join shape AT SCALE: the corpus (10^10 rows) is the big side, the round's
-  * selected batch (≤ LOOP_LIMIT per project) the small side — Spark/AQE
-  * turn this into a broadcast or shuffled-hash join with the selected batch
-  * as build side; with the corpus bucketed by `url` the probe is
-  * shuffle-free. Never the other way around.
+  * selected batch (≤ LOOP_LIMIT per project) the small side — the batch is
+  * broadcast as build side when the caller's politeness bound guarantees it
+  * is small (the production shape), else AQE picks (a shuffled join whose
+  * corpus-side exchange coincides with storage bucketing by `url` at
+  * cluster scale). Never the corpus as build side.
   *
   * Semantics per row:
+  *  - `data:` url → resolved locally, never the corpus (S5/E9 control rows;
+  *    tornado_fetcher.py data_fetch): 200 with the content after the comma;
   *  - url present in corpus → 200, html decoded via the deterministic
   *    encoding chain (HtmlLite, SURVEY P2/P3);
-  *  - conditional fetch (F2, tornado_fetcher.py:296-314): if the task carries
-  *    the content hash of its last success and the corpus page is unchanged
-  *    → 304 with empty body (the processor then short-circuits, P9);
+  *  - redirect stub pages (F3, tornado_fetcher.py:329-364): the corpus
+  *    models 30x as meta-refresh stubs; chains are resolved ONCE at first
+  *    fetch (≤ maxRedirects self-joins over the stub subset only) and the
+  *    response carries the FINAL url's content; > maxRedirects hops →
+  *    "too many redirects" error row;
+  *  - conditional fetch (F2, tornado_fetcher.py:296-314): if the task
+  *    carries the content hash of its last success and the corpus page is
+  *    unchanged → 304 with empty body (the processor short-circuits, P9);
   *  - url absent → 404-style miss normalized like fetch errors (F6,
   *    tornado_fetcher.py:210-224 — any error becomes a status row, the
-  *    pipeline never throws).
+  *    pipeline never throws);
+  *  - every request records its deterministic UA pick (F5, UaPool).
   */
-class CorpusFetcher(corpus: Dataset[Page]) extends FetchService {
+class CorpusFetcher(corpus: Dataset[Page], maxRedirects: Int = 5)
+  extends FetchService {
 
-  override def fetch(selected: Dataset[Task], hook: FetchService.Hook = identity _)
+  /** (src → final dst, hops, tooMany) over the corpus's redirect stubs,
+    * resolved once and cached. None when the corpus has no stubs (common
+    * case — zero per-round overhead). The stub subset is tiny relative to
+    * the corpus, so the chain resolution is maxRedirects small self-joins. */
+  @transient private lazy val redirectMap: Option[DataFrame] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val hops = corpus.flatMap { p =>
+      val head = new String(p.html, 0, math.min(400, p.html.length), "ISO-8859-1")
+      graft.process.HtmlLite.redirectTarget(head)
+        .map(t => (p.url, graft.url.UrlCanon.urljoin(p.url, t)))
+    }.toDF("src", "dst").cache()
+    if (hops.isEmpty) { hops.unpersist(); None }
+    else {
+      var resolved = hops.withColumn("hops", lit(1))
+      var i = 1
+      while (i < maxRedirects) { // follow dst while it is itself a stub
+        resolved = resolved.alias("r")
+          .join(hops.select(col("src").as("h_src"), col("dst").as("h_dst")),
+            col("r.dst") === col("h_src"), "left_outer")
+          .select(col("r.src").as("src"),
+            coalesce(col("h_dst"), col("r.dst")).as("dst"),
+            (col("r.hops") +
+              when(col("h_dst").isNotNull, 1).otherwise(0)).as("hops"))
+        i += 1
+      }
+      val finalMap = resolved // dst still a stub after maxRedirects → too many
+        .join(hops.select(col("src").as("open")), col("dst") === col("open"), "left_outer")
+        .select(col("src").as("__rsrc"), col("dst").as("__rdst"),
+          col("open").isNotNull.as("__rtoomany"))
+        .cache()
+      finalMap.count()
+      hops.unpersist()
+      Some(finalMap)
+    }
+  }
+
+  /** Force redirect-map resolution outside any timed section. */
+  def warm(): Unit = redirectMap
+
+  override def fetch(selected: Dataset[Task], hook: FetchService.Hook = identity _,
+                     broadcastHint: Boolean = true)
                     (implicit spark: SparkSession): Dataset[(Task, FetchedPage)] = {
     import spark.implicits._
+
+    // HOT-PATH SCHEMA SLIMMING (VERDICT r1 perf item 1): the fetch/process
+    // leg only needs 8 flat Task fields — projecting BEFORE the typed
+    // boundary keeps the broadcast build side and every generated plan on
+    // this leg narrow (the full 40-field nested Task encoder was the source
+    // of ~1 MB task binaries). The Task flowing out is REBUILT from the slim
+    // row: schedule/track are defaults — the engine's live MERGE never reads
+    // them from the fetch output (applyStatus updates the live row, keyed by
+    // (project, taskid)), and handlers' contract is url/depth/save/callback.
+    val slim = selected.select(
+      col("taskid"), col("project"), col("url"), col("host"), col("depth"),
+      col("process.callback").as("callback"), col("fetch.save").as("save"),
+      col("fetch.etag").as("etag"))
+    // S5/E9 — data: control rows resolve locally, no corpus access
+    val isData = slim.filter(col("url").startsWith("data:")).as[SlimTask]
+      .map { s =>
+        val t = s.toTask
+        val body = t.url.substring(t.url.indexOf(',') + 1)
+        (t, FetchedPage(t.url, 200, Array.emptyByteArray, "utf-8", body,
+          null, 0L, null, save = t.fetch.save,
+          ua = graft.functions.UaPool.pick(t.url)))
+      }
+    val web = slim.filter(!col("url").startsWith("data:"))
+
+    // F3: effective fetch url after redirect resolution (hits the stub map
+    // only when the corpus actually has stubs)
+    val withEff = redirectMap match {
+      case None => web
+        .withColumn("__eff", col("url")).withColumn("__toomany", lit(false))
+      case Some(rm) => web
+        .join(broadcast(rm), col("url") === col("__rsrc"), "left_outer")
+        .withColumn("__eff", coalesce(col("__rdst"), col("url")))
+        .withColumn("__toomany", coalesce(col("__rtoomany"), lit(false)))
+        .drop("__rsrc", "__rdst", "__rtoomany")
+    }
+
+    val slimCols = Seq("taskid", "project", "url", "host", "depth",
+      "callback", "save", "etag").map(col)
+    val tooMany = withEff.filter(col("__toomany"))
+      .select(slimCols: _*).as[SlimTask]
+      .map { s =>
+        val t = s.toTask
+        (t, FetchedPage(t.url, 599, Array.emptyByteArray, null, "", null, 0L,
+          s"HTTP 599: too many redirects (> $maxRedirects)",
+          ua = graft.functions.UaPool.pick(t.url)))
+      }
+    val selDF = withEff.filter(!col("__toomany"))
+      .select(struct(slimCols: _*).as("_1"), col("__eff").as("__sel_url"))
+
     // JOIN SHAPE: an outer join preserving `selected` can only broadcast the
     // corpus (illegal at 10^10 rows), so split it:
-    //   1. INNER join with the selected batch broadcast as build side —
-    //      the corpus is probed MAP-SIDE, COLUMNAR (plain DF join: no Page
-    //      deserialization for non-matching rows — a typed joinWith here
-    //      would decode every corpus row every round), never shuffled;
-    //   2. misses = selected ANTI-JOIN hit keys (both sides tiny) →
-    //      normalized 599 rows (F6, tornado_fetcher.py:210-224).
-    // At 10^10 rows the same contract is met by bucketing the corpus on url
-    // and pruning buckets to the selected batch's bucket set.
-    val selDF = selected.toDF()
-      .select(struct(col("*")).as("_1"), col("url").as("__sel_url"))
+    //   1. INNER join, selected batch as build side — the corpus is probed
+    //      MAP-SIDE, COLUMNAR (plain DF join: no Page deserialization for
+    //      non-matching rows), never shuffled when broadcastHint holds;
+    //   2. misses = selected ANTI-JOIN hit keys (both sides round-bounded)
+    //      → normalized 599 rows (F6, tornado_fetcher.py:210-224).
+    val build = if (broadcastHint) broadcast(selDF) else selDF
+    // A Common-Crawl-style corpus may hold SEVERAL snapshots per url — keep
+    // exactly ONE page per task (latest warc_ts, content-hash tie-break) so
+    // the join never fans out and downstream joins keep the
+    // one-row-per-(project,taskid) invariant. The window runs over the
+    // round-bounded hit set, never the corpus.
     val matched = corpus.toDF()
-      .join(broadcast(selDF), col("url") === col("__sel_url"), "inner")
-      .select(col("_1"), col("warc_ts").as("_2"), col("html").as("_3"))
-      .as[(Task, java.sql.Timestamp, Array[Byte])]
-    val hits = hook(matched.map { case (t, ts, html) =>
+      .join(build, col("url") === col("__sel_url"), "inner")
+      .select(col("_1"), col("warc_ts").as("_2"), col("html").as("_3"),
+        col("__sel_url").as("_4"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_1.project"), col("_1.taskid"))
+          .orderBy(col("_2").desc, md5(base64(col("_3"))).desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+      .as[(SlimTask, java.sql.Timestamp, Array[Byte], String)]
+    val hits = matched.map { case (s, ts, html, effUrl) =>
+      val t = s.toTask
       val hash = graft.url.UrlCanon.md5Hex(
         java.util.Base64.getEncoder.encodeToString(html))
+      val ua = graft.functions.UaPool.pick(t.url)
       if (t.fetch.etag != null && t.fetch.etag == hash) {
-        (t, FetchedPage(t.url, 304, Array.emptyByteArray, null, "", hash,
-          ts.getTime, null))
+        (t, FetchedPage(effUrl, 304, Array.emptyByteArray, null, "", hash,
+          ts.getTime, null, ua = ua))
       } else {
         val (text, enc) = graft.process.HtmlLite.decodeAuto(html)
-        (t, FetchedPage(t.url, 200, html, enc, text, hash, ts.getTime, null))
+        (t, FetchedPage(effUrl, 200, html, enc, text, hash, ts.getTime, null,
+          ua = ua))
       }
-    })
-    val hitKeys = hits.select(col("_1.taskid").as("taskid"))
-    val misses = selected
-      .join(broadcast(hitKeys), Seq("taskid"), "left_anti").as[Task]
-      .map { t =>
+    }
+    val resolved = hook(hits.union(isData).union(tooMany))
+    val hitKeys = resolved
+      .select(col("_1.project").as("project"), col("_1.taskid").as("taskid"))
+    val misses = slim
+      .join(broadcast(hitKeys), Seq("project", "taskid"), "left_anti")
+      .select(slimCols: _*).as[SlimTask]
+      .map { s =>
+        val t = s.toTask
         (t, FetchedPage(t.url, statusCode = 599, html = Array.emptyByteArray,
           encoding = null, text = "", contentHash = null, warcTs = 0L,
-          error = "HTTP 599: corpus miss"))
+          error = "HTTP 599: corpus miss",
+          ua = graft.functions.UaPool.pick(t.url)))
       }
-    hits.union(misses)
+    resolved.union(misses)
   }
 }

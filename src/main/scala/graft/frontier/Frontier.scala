@@ -28,6 +28,18 @@ object Frontier {
     df.withColumn("eff_priority",
       if (depthLimit != -1) -col("depth") else col("schedule.priority"))
 
+  /** Per-project parameter as a pure COLUMN: a map literal over the (small,
+    * driver-known) projects list with a default — no join, stays inside
+    * whole-stage codegen. The scheduler's projects dict
+    * (scheduler.py:90-149) restated as expressions. */
+  def perProject(byProject: Map[String, Any], default: Any): Column =
+    if (byProject.isEmpty || byProject.values.forall(_ == default)) lit(default)
+    else coalesce(
+      element_at(
+        map(byProject.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        col("project")),
+      lit(default))
+
   /** O3 — due filter (task_queue.py:114-159): rows whose exetime has come.
     * Not-due rows simply stay in the frontier untouched. */
   def due(live: Dataset[Task], now: Double): Dataset[Task] =
@@ -37,13 +49,20 @@ object Frontier {
     * rows that never reported a status within `timeout` go back to ACTIVE
     * (at-least-once). */
   def reactivateTimeouts(live: Dataset[Task], now: Double, timeout: Double)
+                        (implicit spark: SparkSession): Dataset[Task] =
+    reactivateTimeouts(live, now, Map.empty, timeout)
+
+  /** Per-project timeout variant (multi-project engine). */
+  def reactivateTimeouts(live: Dataset[Task], now: Double,
+                         timeouts: Map[String, Any], default: Double)
                         (implicit spark: SparkSession): Dataset[Task] = {
     import spark.implicits._
     // pure column rewrite — stays inside whole-stage codegen, no
     // deserialize/reserialize of the frontier
     live.withColumn("status",
       when(col("status") === Status.Processing &&
-        col("selected_at") < now - timeout, lit(Status.Active))
+        col("selected_at") < lit(now) - perProject(timeouts, default),
+        lit(Status.Active))
         .otherwise(col("status"))).as[Task]
   }
 
@@ -51,9 +70,12 @@ object Frontier {
     * SURVEY §2 preamble). `rules` is small ((host, prefixes) per host) and
     * broadcast. Disallowed rows are marked BAD once so they never clog
     * selection. */
-  def applyRobots(live: Dataset[Task], rules: DataFrame)
+  def applyRobots(live: Dataset[Task], rules: DataFrame,
+                  respect: Map[String, Any] = Map.empty)
                  (implicit spark: SparkSession): Dataset[Task] = {
     import spark.implicits._
+    // `respect` gates the BAD-mark per project (the respectRobots knob);
+    // default true — an empty map keeps the single-project behavior
     live.join(broadcast(rules), Seq("host"), "left_outer")
       .withColumn("path_part",
         regexp_replace(col("url"), "^[a-z]+://[^/]*", ""))
@@ -61,7 +83,8 @@ object Frontier {
         coalesce(exists(col("disallow_prefixes"),
           p => col("path_part").startsWith(p)), lit(false)))
       .withColumn("status",
-        when(col("robots_denied") && col("status") === Status.Active,
+        when(col("robots_denied") && col("status") === Status.Active &&
+          perProject(respect, true),
           lit(Status.Bad)).otherwise(col("status")))
       .drop("disallow_prefixes", "path_part", "robots_denied")
       .as[Task]
@@ -85,14 +108,38 @@ object Frontier {
     * @param projTokens  (project, tokens) carry table — may be empty
     */
   def select(dueTasks: DataFrame, cfg: ProjectConfig, dt: Double,
-             hostTokens: DataFrame, projTokens: DataFrame): DataFrame = {
-    val hostBudget = least(lit(cfg.hostBurst),
-      coalesce(col("host_tokens"), lit(cfg.hostBurst)) + lit(cfg.hostRate * dt))
-    val projBudget = least(lit(cfg.burst),
-      coalesce(col("proj_tokens"), lit(cfg.burst)) + lit(cfg.rate * dt))
-    val perProjectCap = math.max(1, cfg.loopLimit / 10) // scheduler.py:419
+             hostTokens: DataFrame, projTokens: DataFrame): DataFrame =
+    select(dueTasks, Seq(cfg), cfg.hostRate, cfg.hostBurst, cfg.loopLimit,
+      dt, hostTokens, projTokens)
 
-    val joined = withEffectivePriority(dueTasks, cfg.depthLimit)
+  /** Multi-project selection: each project's rate/burst/depth_limit/cap is a
+    * per-project COLUMN (map-literal over the driver-known projects list —
+    * the reference scheduler's projects dict, scheduler.py:90-149,124-125),
+    * while host politeness stays GLOBAL (a host does not care which project
+    * hits it — domain.py keeps one bucket per domain). Unknown projects fall
+    * back to the first config's parameters. */
+  def select(dueTasks: DataFrame, projects: Seq[ProjectConfig],
+             hostRate: Double, hostBurst: Double, globalLoopLimit: Int,
+             dt: Double, hostTokens: DataFrame, projTokens: DataFrame): DataFrame = {
+    val d = projects.head
+    def pp(f: ProjectConfig => Any, default: Any): Column =
+      perProject(projects.map(c => c.name -> f(c)).toMap, default)
+
+    val pRate = pp(_.rate, d.rate)
+    val pBurst = pp(_.burst, d.burst)
+    val pDepthLimit = pp(_.depthLimit, d.depthLimit)
+    val hostBudget = least(lit(hostBurst),
+      coalesce(col("host_tokens"), lit(hostBurst)) + lit(hostRate * dt))
+    val projBudget = least(pBurst,
+      coalesce(col("proj_tokens"), pBurst) + pRate * dt)
+    // per-project fairness cap LOOP_LIMIT/10 (scheduler.py:419)
+    val perProjectCap =
+      greatest(lit(1L), floor(pp(_.loopLimit, d.loopLimit) / 10))
+
+    val joined = dueTasks
+      .withColumn("eff_priority",
+        when(pDepthLimit =!= -1, -col("depth"))
+          .otherwise(col("schedule.priority")))
       .join(broadcast(hostTokens.withColumnRenamed("tokens", "host_tokens")),
         Seq("host"), "left_outer")
       .join(broadcast(projTokens.withColumnRenamed("tokens", "proj_tokens")),
@@ -107,7 +154,7 @@ object Frontier {
     // the per-host budget, so the final selection is unchanged.
     val SALT = 16
     val preTrimmed =
-      if (cfg.hostBurst <= 100_000) {
+      if (hostBurst <= 100_000) {
         joined
           .withColumn("__salt", pmod(hash(col("taskid")), lit(SALT)))
           .withColumn("__r0", row_number().over(
@@ -124,12 +171,12 @@ object Frontier {
 
     val budgeted = ranked
       .filter(col("host_rank") <= floor(hostBudget) &&
-        col("proj_rank") <= least(floor(projBudget), lit(perProjectCap)))
+        col("proj_rank") <= least(floor(projBudget), perProjectCap))
     // global LOOP_LIMIT cap (scheduler.py:38) — a TOTAL sort; skipped when
     // the cap cannot bind (per-project caps already bound the batch)
     val capped =
-      if (cfg.loopLimit.toLong >= Int.MaxValue / 2) budgeted
-      else budgeted.orderBy(selectOrder: _*).limit(cfg.loopLimit)
+      if (globalLoopLimit.toLong >= Int.MaxValue / 2) budgeted
+      else budgeted.orderBy(selectOrder: _*).limit(globalLoopLimit)
     capped.drop("host_rank", "proj_rank", "host_tokens", "proj_tokens", "eff_priority")
   }
 
@@ -151,10 +198,21 @@ object Frontier {
     * (base_handler.py:357-360; task_queue.py:64-78; scheduler.py:286-311). */
   def mergeCandidates(cands: Dataset[Task])(implicit spark: SparkSession): Dataset[Task] = {
     import spark.implicits._
+    // Deterministic winner regardless of reduce order (commutative +
+    // associative): (priority desc, depth asc), then a stable total order on
+    // the remaining non-merged fields so equal-priority candidates always
+    // resolve to the same row (VERDICT r1: run-order-dependent tie-break).
+    def tieKey(t: Task): (Double, String, String, Long, String, String) =
+      (t.schedule.exetime, String.valueOf(t.process.callback),
+        String.valueOf(t.schedule.itag), t.schedule.age,
+        String.valueOf(t.fetch.save), t.url)
+    val tieOrd = Ordering[(Double, String, String, Long, String, String)]
     cands.groupByKey(t => (t.project, t.taskid)).reduceGroups { (a, b) =>
       val hi =
-        if (a.schedule.priority > b.schedule.priority ||
-            (a.schedule.priority == b.schedule.priority && a.depth <= b.depth)) a else b
+        if (a.schedule.priority != b.schedule.priority)
+          (if (a.schedule.priority > b.schedule.priority) a else b)
+        else if (a.depth != b.depth) (if (a.depth < b.depth) a else b)
+        else if (tieOrd.lteq(tieKey(a), tieKey(b))) a else b
       hi.copy(
         depth = math.min(a.depth, b.depth),
         schedule = hi.schedule.copy(
@@ -185,9 +243,11 @@ object Frontier {
     */
   def mergeIntoLive(live: Dataset[Task], cands: Dataset[Task],
                     archive: Dataset[Task],
+                    archiveDelta: Dataset[Task],
                     bloom: Option[org.apache.spark.util.sketch.BloomFilter],
                     now: Double, round: Long, depthLimit: Int,
-                    persistHook: Dataset[Task] => Dataset[Task] = identity)
+                    persistHook: Dataset[Task] => Dataset[Task] = identity,
+                    depthLimits: Map[String, Int] = Map.empty)
                    (implicit spark: SparkSession): Dataset[Task] = {
     import spark.implicits._
 
@@ -240,28 +300,41 @@ object Frontier {
       .join(matchedKeys, Seq("project", "taskid"), "left_anti")
       .as[Task].map(_.copy(seq = round))
 
-    // (d) D2 bloom pre-filter: definitely-new rows skip the archive entirely
-    val (defNew, maybeSeen0) = SeenSet.splitByBloom(inserts, bloom)
-    val maybeSeen = persistHook(maybeSeen0)
-
-    // exact confirm: archive semi-joined on BROADCAST candidate keys — the
-    // big side is filtered map-side, no archive shuffle
-    val maybeKeys = maybeSeen.select("project", "taskid")
-    val matchedArchive = SeenSet.latest(
-      archive.join(maybeKeys, Seq("project", "taskid"), "left_semi").as[Task])
-
-    val archCond = maybeSeen("project") === matchedArchive("project") &&
-      maybeSeen("taskid") === matchedArchive("taskid")
-    val confirmed = maybeSeen.joinWith(matchedArchive, archCond, "left_outer")
-      .flatMap {
-        case (nw, null) => Some(nw) // truly new (bloom false positive) → insert
+    // exact confirm of candidate inserts against a seen log: semi-join the
+    // log on the (BROADCAST) candidate keys — the big side is filtered
+    // map-side, never shuffled — then decide insert vs re-crawl (D4) vs drop
+    def confirm(candsIn: Dataset[Task], seenLog: Dataset[Task]): Dataset[Task] = {
+      val keys = candsIn.select("project", "taskid")
+      val matched = SeenSet.latest(
+        seenLog.join(keys, Seq("project", "taskid"), "left_semi").as[Task])
+      val cond = candsIn("project") === matched("project") &&
+        candsIn("taskid") === matched("taskid")
+      candsIn.joinWith(matched, cond, "left_outer").flatMap {
+        case (nw, null) => Some(nw) // truly new → insert
         case (nw, old)  => // seen before → on_old_request: re-crawl only if D4 says so
           if (restartWanted(old, nw)) Some(restart(old, nw)) else None
       }
+    }
+
+    // (d) D2 bloom pre-filter. The bloom covers the archive only up to the
+    // PREVIOUS round — rows archived THIS round (archiveDelta) are not in it
+    // yet, so a same-round rediscovery (self-link, mutual links crawled in
+    // one round) would slip through as "definitely new". Both halves of the
+    // split are therefore confirmed against the round-bounded delta exactly
+    // (VERDICT r1 high: same-round seen-set blind spot).
+    val (defNew0, maybeSeen0) = SeenSet.splitByBloom(inserts, bloom)
+    val maybeSeen = persistHook(maybeSeen0)
+    val confirmed = confirm(maybeSeen, archive.union(archiveDelta))
+    val defNew = confirm(persistHook(defNew0), archiveDelta)
 
     val fresh = defNew.union(confirmed)
-    val guarded = // P11 depth guard (base_handler.py:481-494)
-      if (depthLimit == -1) fresh else fresh.filter(_.depth <= depthLimit)
+    // P11 depth guard (base_handler.py:481-494), per project when limits vary
+    val guarded =
+      if (depthLimits.isEmpty && depthLimit == -1) fresh
+      else fresh.filter { t =>
+        val dl = depthLimits.getOrElse(t.project, depthLimit)
+        dl == -1 || t.depth <= dl
+      }
 
     updatedLive.union(guarded)
   }
@@ -306,6 +379,7 @@ object Frontier {
         val track = Track(
           fetch = TrackFetch(ok = p.fetchOk, time = p.fetchTime,
             status_code = p.statusCode, encoding = p.encoding,
+            redirect_url = p.redirectUrl,
             error = p.fetchError, content_hash = p.contentHash),
           process = TrackProcess(ok = p.processOk, time = p.processTime,
             follows = p.follows, exception = p.exception))
@@ -358,4 +432,5 @@ case class StatusPack(
     processOk: Boolean,
     processTime: Double,
     follows: Int,
-    exception: String)
+    exception: String,
+    redirectUrl: String = null) // F3: final url when the fetch redirected

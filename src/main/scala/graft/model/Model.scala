@@ -112,7 +112,8 @@ case class ProjectConfig(
     processingTimeout: Double = 600.0, // task_queue.py:119
     respectRobots: Boolean = true, // NEW scope (north rule); reference has none
     allowDomains: Seq[String] = Nil, // P7 allow-list; empty = all
-    denyPattern: String = null)      // P7 deny regex
+    denyPattern: String = null,      // P7 deny regex
+    saveHtml: Boolean = false)       // S8 raw-HTML sink (save_html.py:23-52)
 
 object Retry {
   /** reference scheduler.py:44-50 DEFAULT_RETRY_DELAY:

@@ -7,14 +7,16 @@ import graft.url.UrlCanon
   * pyspider-master/pyspider/libs/response.py:196-208, trimmed to corpus-fetch
   * fields). */
 case class FetchedPage(
-    url: String,
+    url: String, // response url — the FINAL url after redirects (F3)
     statusCode: Int,
     html: Array[Byte],
     encoding: String,
     text: String, // decoded content
     contentHash: String, // md5 of html bytes — stands in for ETag
     warcTs: Long,
-    error: String)
+    error: String,
+    save: String = null, // control payload (P15 _on_message: {"from","msg"})
+    ua: String = null) // F5: deterministic UA pick for the request
 
 /** What a callback asks the engine to do next — the typed restatement of
   * `self.crawl(...)` kwargs (reference spider/base_handler.py:259-361). */
@@ -33,7 +35,11 @@ case class HandlerResult(
     follows: Seq[FollowSpec] = Nil,
     result: String = null, // JSON result row, like detail_page's return
     ok: Boolean = true,
-    exception: String = null)
+    exception: String = null,
+    // P15 send_message (base_handler.py:426-428): (target project, JSON msg);
+    // the engine dispatches each to the target's `_on_message` callback in
+    // the SAME processor pass (processor.py:183-199)
+    messages: Seq[(String, String)] = Nil)
 
 /** Compiled callback — the engine's replacement for projectdb's hot-loaded
   * python scripts (SURVEY §2.8: "no dynamic code loading"). */
@@ -43,7 +49,7 @@ trait Handler extends Serializable {
 
 object Handlers {
 
-  private def jsonStr(s: String): String =
+  def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

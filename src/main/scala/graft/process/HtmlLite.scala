@@ -124,6 +124,19 @@ object HtmlLite extends Serializable {
     case _                => ""
   }
 
+  private val MetaRefresh =
+    """(?is)<meta\s[^>]*http-equiv\s*=\s*["']?refresh["']?[^>]*content\s*=\s*["']?\s*\d+\s*;\s*url\s*=\s*([^"'>\s]+)""".r
+
+  /** F3 — redirect detection: the corpus models an HTTP 30x as a
+    * meta-refresh stub page (a WARC snapshot has no transport-level Location
+    * header). Returns the redirect target if the page is such a stub. */
+  def redirectTarget(html: String): Option[String] = {
+    val prefix = "<html><head><meta http-equiv="
+    if (html.length < prefix.length ||
+        !html.regionMatches(true, 0, prefix, 0, prefix.length)) None
+    else MetaRefresh.findFirstMatchIn(html).map(m => unescapeHtml(m.group(1)).trim)
+  }
+
   /** robots.txt parse (new scope per north rule; reference has none —
     * SURVEY §2 preamble): returns Disallow path prefixes for `User-agent: *`. */
   def robotsDisallows(body: String): Seq[String] = {

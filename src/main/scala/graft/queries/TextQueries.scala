@@ -98,14 +98,24 @@ object TextQueries {
         .groupBy(md5(expr("substring(text, 1, 40)")).as("h"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))),
 
-    // n-gram Jaccard near-dup: shingle join within (source, lang) blocks
+    // n-gram Jaccard near-dup: shingle join within (source, lang) blocks.
+    // SCALE GUARD (VERDICT r1): shingles appearing in > 50 documents of a
+    // block are excluded from the pair join — one hot shingle (boilerplate,
+    // whitespace runs) would otherwise go quadratic. Pairs sharing ONLY hot
+    // shingles are missed by design (they share boilerplate, not content);
+    // sizes stay uncapped so the jaccard denominator is true.
     Q("dedup_ngram_jaccard",
       s"""WITH $SHINGLE_SQL,
          | d AS (SELECT DISTINCT doc_id, source, lang, sh FROM shingles),
          | sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+         | hot AS (SELECT source, lang, sh FROM d
+         |   GROUP BY source, lang, sh HAVING COUNT(*) > 50),
+         | d2 AS (SELECT d.* FROM d LEFT JOIN hot
+         |   ON d.sh = hot.sh AND d.source = hot.source AND d.lang = hot.lang
+         |   WHERE hot.sh IS NULL),
          | common AS (
          |   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-         |   FROM d a JOIN d b ON a.sh = b.sh AND a.source = b.source
+         |   FROM d2 a JOIN d2 b ON a.sh = b.sh AND a.source = b.source
          |     AND a.lang = b.lang AND a.doc_id < b.doc_id
          |   GROUP BY 1, 2)
          | SELECT id_a, id_b,
@@ -116,8 +126,12 @@ object TextQueries {
       (s, dir) => {
         val d = shinglesDF(s, dir).distinct()
         val sizes = d.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val a = d.select(col("doc_id").as("id_a"), col("source"), col("lang"), col("sh"))
-        val b = d.select(col("doc_id").as("id_b"), col("source").as("source_b"),
+        val hot = d.groupBy("source", "lang", "sh")
+          .agg(count(lit(1)).as("df")).filter(col("df") > 50)
+          .select("source", "lang", "sh")
+        val d2 = d.join(hot, Seq("source", "lang", "sh"), "left_anti")
+        val a = d2.select(col("doc_id").as("id_a"), col("source"), col("lang"), col("sh"))
+        val b = d2.select(col("doc_id").as("id_b"), col("source").as("source_b"),
           col("lang").as("lang_b"), col("sh").as("sh_b"))
         val common = a.join(b,
           col("sh") === col("sh_b") && col("source") === col("source_b") &&
@@ -190,6 +204,102 @@ object TextQueries {
         }
         toks.groupBy("doc_id")
           .agg(concat(bitCols: _*).as("simhash"))
+      }),
+
+    // 64-bit SimHash as 4×16-bit BANDS (VERDICT r1: 16-bit simhash
+    // saturates its 65k buckets on billions of docs; 64 bits + banded
+    // Hamming join is the scale shape). Bit j (0..63) of a token's hash is
+    // derived md5-exactly in both engines: hex char j/2 supplies two bits
+    // (high: digit ≥ 8, low: digit odd).
+    Q("simhash64_bands",
+      { def bitVote(j: Int): String = {
+          val c = j / 2 + 1
+          if (j % 2 == 0) s"CASE WHEN substr(md5(tok), $c, 1) >= '8' THEN 1 ELSE -1 END"
+          else s"CASE WHEN substr(md5(tok), $c, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END"
+        }
+        val bands = (0 until 4).map { b =>
+          val terms = (0 until 16).map { i =>
+            s"(CASE WHEN SUM(${bitVote(b * 16 + i)}) > 0 THEN ${1L << i} ELSE 0 END)"
+          }.mkString(" + ")
+          s"CAST($terms AS BIGINT) AS band$b"
+        }.mkString(",\n  ")
+        s"""SELECT doc_id, $bands
+           | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |       FROM documents) t
+           | GROUP BY doc_id""".stripMargin })(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+        def vote(j: Int) = {
+          val c = substring(md5(col("tok")), j / 2 + 1, 1)
+          val bit = if (j % 2 == 0) c >= "8"
+            else c.isin("1", "3", "5", "7", "9", "b", "d", "f")
+          when(bit, 1).otherwise(-1)
+        }
+        val bands = (0 until 4).map { b =>
+          (0 until 16).map { i =>
+            when(sum(vote(b * 16 + i)) > 0, lit(1L << i)).otherwise(0L)
+          }.reduce(_ + _).cast("long").as(s"band$b")
+        }
+        toks.groupBy("doc_id").agg(bands.head, bands.tail: _*)
+      }),
+
+    // banded Hamming near-dup over the 64-bit simhash: candidates share at
+    // least one 16-bit band (4 equi-joins unioned — never an OR-join or an
+    // all-pairs), verified by exact Hamming ≤ 12 over all 64 bits
+    Q("dedup_simhash64",
+      { def bitVote(j: Int): String = {
+          val c = j / 2 + 1
+          if (j % 2 == 0) s"CASE WHEN substr(md5(tok), $c, 1) >= '8' THEN 1 ELSE -1 END"
+          else s"CASE WHEN substr(md5(tok), $c, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END"
+        }
+        val bands = (0 until 4).map { b =>
+          val terms = (0 until 16).map { i =>
+            s"(CASE WHEN SUM(${bitVote(b * 16 + i)}) > 0 THEN ${1L << i} ELSE 0 END)"
+          }.mkString(" + ")
+          s"CAST($terms AS BIGINT) AS band$b"
+        }.mkString(",\n  ")
+        val joins = (0 until 4).map(b =>
+          s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
+          .mkString("\n  UNION ALL ")
+        val ham = (0 until 4).map(b => s"bit_count(xor(sa.band$b, sb.band$b))").mkString(" + ")
+        s"""WITH sigs AS (
+           |  SELECT doc_id, $bands
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents) t
+           |  GROUP BY doc_id),
+           | cand AS (SELECT DISTINCT id_a, id_b FROM ($joins)),
+           | h AS (SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming
+           |   FROM cand JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
+           | SELECT id_a, id_b, hamming FROM h WHERE hamming <= 12""".stripMargin })(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+        def vote(j: Int) = {
+          val c = substring(md5(col("tok")), j / 2 + 1, 1)
+          val bit = if (j % 2 == 0) c >= "8"
+            else c.isin("1", "3", "5", "7", "9", "b", "d", "f")
+          when(bit, 1).otherwise(-1)
+        }
+        val bandCols = (0 until 4).map { b =>
+          (0 until 16).map { i =>
+            when(sum(vote(b * 16 + i)) > 0, lit(1L << i)).otherwise(0L)
+          }.reduce(_ + _).cast("long").as(s"band$b")
+        }
+        val sigs = toks.groupBy("doc_id").agg(bandCols.head, bandCols.tail: _*)
+        val a = sigs.toDF("id_a", "a0", "a1", "a2", "a3")
+        val b = sigs.toDF("id_b", "c0", "c1", "c2", "c3")
+        val cand = (0 until 4).map(i =>
+            a.join(b, col(s"a$i") === col(s"c$i") && col("id_a") < col("id_b"))
+              .select("id_a", "id_b"))
+          .reduce(_ union _).distinct()
+        val ham = (0 until 4).map(i =>
+          expr(s"bit_count(a$i ^ c$i)")).reduce(_ + _).cast("long")
+        cand
+          .join(a, "id_a").join(b, "id_b")
+          .withColumn("hamming", ham)
+          .filter(col("hamming") <= 12)
+          .select("id_a", "id_b", "hamming")
       })
   )
 }

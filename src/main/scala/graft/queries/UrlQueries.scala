@@ -192,6 +192,17 @@ object UrlQueries {
          | 'http://site' || CAST(doc_id % 37 AS VARCHAR) || '.example/p/x' AS joined
          | FROM frontier""".stripMargin)(
       (s, dir) => frontier(s, dir).select(col("doc_id"),
-        urljoinUdf(col("url"), lit("../p/x")).as("joined")))
+        urljoinUdf(col("url"), lit("../p/x")).as("joined"))),
+
+    // F5 — deterministic UA rotation (tornado_fetcher.py:60-101,274-294):
+    // pick index = first md5 byte mod pool size, identical in the Scala row
+    // path (UaPool.pick), the column path (this query) and this oracle
+    Q("f5_ua_pick",
+      s"""$FRONTIER_SQL SELECT taskid,
+         | CAST(((instr('0123456789abcdef', substr(md5(url), 1, 1)) - 1) * 16
+         |      + (instr('0123456789abcdef', substr(md5(url), 2, 1)) - 1)) % 4
+         |   AS INTEGER) AS ua_idx FROM frontier""".stripMargin)(
+      (s, dir) => frontier(s, dir).select(col("taskid"),
+        graft.functions.UaPool.idxCol(col("url")).as("ua_idx")))
   )
 }

@@ -32,12 +32,69 @@ object VectorQueries {
   private def dotCol(a: String, b: String) =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
 
+  // ---- random-hyperplane LSH (the scale path, VERDICT r1 item 7) --------
+  // The fixed-first-8-dims sign bucketing of ann_lsh_buckets caps at 256
+  // buckets; real recall/scale needs b bands × r seeded random hyperplanes.
+  // Hyperplane components are DETERMINISTIC ±1 draws from an integer LCG on
+  // (plane, dim) — exact in both engines, no float RNG:
+  //   bit(p,d) = ((1103515245*(p*4096+d) + 12345) mod 2^31) div 2^15 mod 2
+  //   s(p,d)   = +1 if bit = 0 else -1
+  val HP_BANDS = 4
+  val HP_BITS = 4 // r bits per band → 16 planes
+
+  private def hpSignSql(p: Int): String =
+    s"(CASE WHEN ((1103515245::BIGINT * (${p * 4096} + pos) + 12345) % 2147483648) // 32768 % 2 = 0 THEN 1 ELSE -1 END)"
+
+  /** (vec_id, s0..s15) plane projections over the quantized embedding. */
+  private def hpProjections(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"), col("x"))
+    val sums = (0 until HP_BANDS * HP_BITS).map { p =>
+      val bit = expr(s"((1103515245L * (${p * 4096} + pos) + 12345) % 2147483648) div 32768 % 2")
+      sum(col("x") * when(bit === 0, 1).otherwise(-1)).as(s"s$p")
+    }
+    e.groupBy("vec_id").agg(sums.head, sums.tail: _*)
+  }
+
+  private val HP_PROJ_SQL: String = {
+    val sums = (0 until HP_BANDS * HP_BITS).map { p =>
+      s"SUM(x * ${hpSignSql(p)}) AS s$p"
+    }.mkString(",\n      ")
+    s"""e AS (SELECT vec_id, CAST(generate_subscripts(q, 1) AS BIGINT) AS pos,
+       |       unnest(q) AS x FROM q),
+       | proj AS (SELECT vec_id, $sums FROM e GROUP BY vec_id)""".stripMargin
+  }
+
+  /** one row per (vec_id, band) with the band's r-bit bucket string */
+  private def hpBuckets(s: SparkSession, dir: String): DataFrame = {
+    val proj = hpProjections(s, dir)
+    val bandStructs = (0 until HP_BANDS).map { b =>
+      val bits = (0 until HP_BITS).map(i =>
+        when(col(s"s${b * HP_BITS + i}") >= 0, "1").otherwise("0"))
+      struct(lit(b).as("band"), concat(bits: _*).as("bucket"))
+    }
+    proj.select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  private val HP_BUCKETS_SQL: String = {
+    val bands = (0 until HP_BANDS).map { b =>
+      val bits = (0 until HP_BITS).map(i =>
+        s"(CASE WHEN s${b * HP_BITS + i} >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"SELECT vec_id, CAST($b AS INTEGER) AS band, $bits AS bucket FROM proj"
+    }.mkString("\n  UNION ALL ")
+    s"buckets AS (\n  $bands\n)"
+  }
+
   val all: Seq[Q] = Seq(
 
     // quantized L2 norm per vector (the shared building block)
     Q("emb_norm",
+      // CAST: DuckDB widens SUM(BIGINT) to HUGEINT (serialized as float64);
+      // Spark emits LONG — cast so both engines hash int64 (VERDICT r1 fix)
       s"""WITH $QUANT_SQL
-         | SELECT vec_id, SUM(x * x) AS norm2
+         | SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS norm2
          | FROM (SELECT vec_id, unnest(q) AS x FROM q) t GROUP BY vec_id""".stripMargin)(
       (s, dir) => quantized(s, dir).select(col("vec_id"),
         dotCol("q", "q").as("norm2"))),
@@ -47,7 +104,7 @@ object VectorQueries {
       s"""WITH $QUANT_SQL,
          | e AS (SELECT label, CAST(generate_subscripts(q, 1) AS BIGINT) AS pos,
          |        unnest(q) AS x FROM q)
-         | SELECT label, pos, SUM(x) AS s FROM e GROUP BY label, pos""".stripMargin)(
+         | SELECT label, pos, CAST(SUM(x) AS BIGINT) AS s FROM e GROUP BY label, pos""".stripMargin)(
       (s, dir) => quantized(s, dir)
         .select(col("label"), posexplode(col("q")).as(Seq("pos0", "x")))
         .groupBy(col("label"), (col("pos0") + 1).cast("long").as("pos"))
@@ -138,6 +195,65 @@ object VectorQueries {
         val b2 = b.select(col("vec_id").as("id_b"), col("bucket").as("bucket_b"),
           col("q").as("qb"))
         a2.join(b2, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+          .withColumn("dot", dotCol("qa", "qb"))
+          .withColumn("na2", dotCol("qa", "qa"))
+          .withColumn("nb2", dotCol("qb", "qb"))
+          .withColumn("cosine", col("dot").cast("double") /
+            (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+          .filter(col("cosine") >= 0.5)
+          .select("id_a", "id_b", "cosine")
+      }),
+
+    // random-hyperplane LSH buckets: b bands × r seeded-projection sign bits
+    // (the scale replacement for ann_lsh_buckets' fixed-dim signs)
+    Q("ann_lsh_hyperplane",
+      s"""WITH $QUANT_SQL,
+         | $HP_PROJ_SQL,
+         | $HP_BUCKETS_SQL
+         | SELECT vec_id, band, bucket FROM buckets""".stripMargin)(
+      (s, dir) => hpBuckets(s, dir)),
+
+    // near-dup via hyperplane LSH with a PER-BUCKET CANDIDATE CAP: within a
+    // (band, bucket) only the first 16 vectors (by vec_id) pair up, so a hot
+    // bucket can never go quadratic at scale; pairs found by several bands
+    // dedup; exact cosine (quantized ints) confirms
+    Q("emb_neardup_hp",
+      s"""WITH $QUANT_SQL,
+         | $HP_PROJ_SQL,
+         | $HP_BUCKETS_SQL,
+         | capped AS (
+         |  SELECT vec_id, band, bucket,
+         |    row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+         |  FROM buckets),
+         | pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id AND a.rn <= 16 AND b.rn <= 16),
+         | j AS (
+         |  SELECT p.id_a, p.id_b,
+         |   (SELECT SUM(x * y) FROM (SELECT unnest(qa.q) AS x, unnest(qb.q) AS y) z) AS dot,
+         |   (SELECT SUM(x * x) FROM (SELECT unnest(qa.q) AS x) z) AS na2,
+         |   (SELECT SUM(y * y) FROM (SELECT unnest(qb.q) AS y) z) AS nb2
+         |  FROM pairs p JOIN q qa ON qa.vec_id = p.id_a JOIN q qb ON qb.vec_id = p.id_b)
+         | SELECT id_a, id_b,
+         |   CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) AS cosine
+         | FROM j
+         | WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.5""".stripMargin)(
+      (s, dir) => {
+        val capped = hpBuckets(s, dir)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("band", "bucket").orderBy("vec_id")))
+          .filter(col("rn") <= 16)
+        val a = capped.select(col("vec_id").as("id_a"), col("band"), col("bucket"))
+        val b = capped.select(col("vec_id").as("id_b"), col("band").as("band_b"),
+          col("bucket").as("bucket_b"))
+        val pairs = a.join(b, col("band") === col("band_b") &&
+            col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val q = quantized(s, dir)
+        pairs
+          .join(q.select(col("vec_id").as("id_a"), col("q").as("qa")), "id_a")
+          .join(q.select(col("vec_id").as("id_b"), col("q").as("qb")), "id_b")
           .withColumn("dot", dotCol("qa", "qb"))
           .withColumn("na2", dotCol("qa", "qa"))
           .withColumn("nb2", dotCol("qb", "qb"))

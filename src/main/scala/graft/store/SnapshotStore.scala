@@ -92,6 +92,28 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
   def appendResults(n: Long, results: DataFrame): Unit =
     results.write.mode(SaveMode.Overwrite).parquet(s"$root/results/round=$n")
 
+  /** O14 restart-by-status / operator control rows: candidates injected for
+    * round `n` (consumed by runRound(n) as extra merge candidates). */
+  def writeControl(n: Long, tasks: Dataset[Task]): Unit =
+    tasks.write.mode(SaveMode.Overwrite).parquet(s"$root/control/round=$n")
+
+  def readControl(n: Long): Dataset[Task] = {
+    val d = s"$root/control/round=$n"
+    if (fs.exists(new Path(d))) spark.read.parquet(d).as[Task]
+    else spark.emptyDataset[Task]
+  }
+
+  /** S8 raw-HTML sink (reference processor/save_html.py:23-52): per-task
+    * body persistence behind the project's save_html flag. */
+  def appendHtml(n: Long, html: DataFrame): Unit =
+    html.write.mode(SaveMode.Overwrite).parquet(s"$root/html/round=$n")
+
+  def readHtml(): DataFrame = {
+    val dirs = committedRounds().map(n => s"$root/html/round=$n")
+      .filter(d => fs.exists(new Path(d)))
+    if (dirs.isEmpty) spark.emptyDataFrame else spark.read.parquet(dirs: _*)
+  }
+
   def appendMetrics(n: Long, metrics: DataFrame): Unit =
     metrics.write.mode(SaveMode.Overwrite).parquet(s"$root/metrics/round=$n")
 
@@ -139,6 +161,12 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
       """"archive_total":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
     }.getOrElse(0L)
 
+  /** Committed live-row count of round n (from the manifest — no job). */
+  def liveRowsOf(n: Long): Option[Long] =
+    readManifest(n).flatMap { s =>
+      """"live_rows":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+    }
+
   /** Drop everything after round n (used by resume after a torn run, and by
     * the kill/resume test). */
   def truncateAfter(n: Long): Unit = {
@@ -154,5 +182,6 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     }
     dropRounds(root); dropRounds(s"$root/archive")
     dropRounds(s"$root/results"); dropRounds(s"$root/metrics")
+    dropRounds(s"$root/control"); dropRounds(s"$root/html")
   }
 }

@@ -1,0 +1,343 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max, sum}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.ProjectIni
+import graft.corpus.CorpusGen
+import graft.engine.{CrawlEngine, EngineConfig, ProjectSpec}
+import graft.model.{Page, ProjectConfig, Status, Task}
+import graft.process.{FetchedPage, Handler, HandlerResult, FollowSpec, RuleSpider, LinkRule}
+
+/** Round-2 engine wiring laws: multi-project scheduling, the config knobs
+  * (respectRobots / inqueueLimit / allowDomains / denyPattern / saveHtml),
+  * O14 restart-by-status, P15 inter-project messages, F3 engine-path
+  * redirects, P16 rule spider, P17 INI parsing, and the same-round
+  * rediscovery seen-set fix. */
+class EngineKnobsSpec extends AnyFunSuite {
+
+  implicit lazy val spark: SparkSession = SparkTestBase.spark
+  import spark.implicits._
+
+  private def page(url: String, links: Seq[String], title: String): Page = {
+    val text = s"$title\nbody words here."
+    Page(url, new Timestamp(1000L), CorpusGen.renderHtml(text, links, "utf-8"),
+      text, "en")
+  }
+  private def redirect(url: String, target: String): Page =
+    Page(url, new Timestamp(1000L),
+      s"""<html><head><meta http-equiv="refresh" content="0; url=$target"/></head></html>"""
+        .getBytes("utf-8"), "", "en")
+  private def robots(host: String): Page = {
+    val body = "User-agent: *\nDisallow: /private/\n"
+    Page(s"http://$host/robots.txt", new Timestamp(0L),
+      body.getBytes("utf-8"), body, "en")
+  }
+
+  private def mkEngine(pages: Seq[Page], specs: Seq[ProjectSpec],
+                       callbacks: Map[String, Handler] = process.Handlers.registry,
+                       dir: String = null): CrawlEngine = {
+    val ckpt = if (dir != null) dir
+      else Files.createTempDirectory("graft_knobs").toString
+    new CrawlEngine(spark.createDataset(pages), EngineConfig(
+      projects = specs, callbacks = callbacks,
+      roundDt = 30.0, checkpointDir = ckpt))
+  }
+
+  private def unbounded(name: String) = ProjectConfig(name,
+    rate = 1e9, burst = 1e9, hostRate = 1e9, hostBurst = 1e9,
+    loopLimit = Int.MaxValue / 2, depthLimit = -1)
+
+  test("multi-project: per-project rate budgets and isolated seen-sets") {
+    // a0 fans out to a1,a2,a3; two projects crawl the SAME urls
+    val urls = (0 to 3).map(i => s"http://a.example/p/$i")
+    val pages = Seq(page(urls.head, urls.tail, "t0")) ++
+      urls.tail.map(u => page(u, Nil, "t")) :+ robots("a.example")
+    // slow: 1 task/round (rate*dt = 1, burst 1); fast: unbounded
+    val slow = ProjectSpec(unbounded("slow").copy(rate = 1.0 / 30.0, burst = 1.0),
+      seeds = Seq(urls.head))
+    val fast = ProjectSpec(unbounded("fast"), seeds = Seq(urls.head))
+    val eng = mkEngine(pages, Seq(slow, fast))
+    val stats = eng.crawl(Nil, maxRounds = 12)
+    val arch = frontier.SeenSet.latest(
+      eng.store.readArchive(eng.store.lastCommitted().get)).collect()
+    val byProj = arch.groupBy(_.project)
+    // both projects see the full closure, each under its own budget
+    assert(byProj("slow").count(_.status == Status.Success) === 4)
+    assert(byProj("fast").count(_.status == Status.Success) === 4)
+    val m = eng.metricsDF()
+    val slowMax = m.filter(col("project") === "slow")
+      .agg(max("processed")).head().getLong(0)
+    val fastMax = m.filter(col("project") === "fast")
+      .agg(max("processed")).head().getLong(0)
+    assert(slowMax <= 1, s"slow project exceeded its 1/round budget: $slowMax")
+    assert(fastMax === 3, s"fast project was throttled: $fastMax")
+    assert(stats.size >= 4) // slow needs 4 selection rounds
+  }
+
+  test("per-project depth limit bounds one project, not the other") {
+    val urls = (0 to 4).map(i => s"http://a.example/p/$i")
+    val pages = urls.zipWithIndex.map { case (u, i) =>
+      page(u, if (i < 4) Seq(urls(i + 1)) else Nil, s"t$i")
+    } :+ robots("a.example")
+    val shallow = ProjectSpec(unbounded("shallow").copy(depthLimit = 2),
+      seeds = Seq(urls.head))
+    val deep = ProjectSpec(unbounded("deep"), seeds = Seq(urls.head))
+    val eng = mkEngine(pages, Seq(shallow, deep))
+    eng.crawl(Nil, maxRounds = 10)
+    val arch = frontier.SeenSet.latest(
+      eng.store.readArchive(eng.store.lastCommitted().get)).collect()
+    assert(arch.filter(_.project == "shallow").map(_.depth).max === 2)
+    assert(arch.filter(_.project == "deep").map(_.depth).max === 4)
+  }
+
+  test("respectRobots=false actually disables the robots gate") {
+    val u0 = "http://a.example/p/0"; val priv = "http://a.example/private/p/1"
+    val pages = Seq(page(u0, Seq(priv), "t0"), page(priv, Nil, "secret"),
+      robots("a.example"))
+    val gated = mkEngine(pages,
+      Seq(ProjectSpec(unbounded("gated"), seeds = Seq(u0))))
+    gated.crawl(Nil, maxRounds = 6)
+    val open = mkEngine(pages,
+      Seq(ProjectSpec(unbounded("open").copy(respectRobots = false),
+        seeds = Seq(u0))))
+    open.crawl(Nil, maxRounds = 6)
+    def fetchedUrls(e: CrawlEngine) = frontier.SeenSet.latest(
+        e.store.readArchive(e.store.lastCommitted().get))
+      .filter(_.status == Status.Success).collect().map(_.url).toSet
+    assert(!fetchedUrls(gated).contains(priv))
+    assert(fetchedUrls(open).contains(priv))
+  }
+
+  test("P7 allowDomains / denyPattern filter follows in the engine loop") {
+    val a0 = "http://a.example/p/0"
+    val aDeny = "http://a.example/skipme/p/1"
+    val b0 = "http://b.example/p/0"
+    val pages = Seq(
+      page(a0, Seq(aDeny, b0), "t0"), page(aDeny, Nil, "t1"),
+      page(b0, Nil, "t2"), robots("a.example"), robots("b.example"))
+    val eng = mkEngine(pages, Seq(ProjectSpec(
+      unbounded("p").copy(allowDomains = Seq("a.example"),
+        denyPattern = "/skipme/"),
+      seeds = Seq(a0))))
+    eng.crawl(Nil, maxRounds = 6)
+    val urls = frontier.SeenSet.latest(
+      eng.store.readArchive(eng.store.lastCommitted().get)).collect().map(_.url).toSet
+    assert(urls === Set(a0)) // b.example (domain) and /skipme/ (deny) filtered
+  }
+
+  test("O9 inqueueLimit drops non-forced candidates while the queue is full") {
+    // s0 fans out to 6 kids, each kid links one unique grandkid. With a
+    // 1/round budget, a kid's grandkid arrives while the remaining kids are
+    // still pending: pending ≥ 3 → dropped (never revisited — reference
+    // semantics: the task is discarded, scheduler.py:314-316), pending < 3 →
+    // admitted. Exactly 3 grandkids must be dropped.
+    val kids = (1 to 6).map(i => s"http://a.example/k/$i")
+    val gks = (1 to 6).map(i => s"http://a.example/g/$i")
+    val pages = page("http://a.example/p/0", kids, "t0") +:
+      (kids.zip(gks).map { case (k, g) => page(k, Seq(g), "k") } ++
+        gks.map(g => page(g, Nil, "g"))) :+ robots("a.example")
+    val eng = mkEngine(pages, Seq(ProjectSpec(
+      unbounded("q").copy(inqueueLimit = 3, rate = 1.0 / 30.0, burst = 1.0),
+      seeds = Seq("http://a.example/p/0"))))
+    eng.crawl(Nil, maxRounds = 20)
+    val fetched = frontier.SeenSet.latest(
+        eng.store.readArchive(eng.store.lastCommitted().get))
+      .filter(_.status == Status.Success).collect().map(_.url).toSet
+    assert(kids.forall(fetched.contains)) // all kids crawled
+    val gDone = gks.count(fetched.contains)
+    assert(gDone === 3, s"expected exactly 3 grandkids admitted, got $gDone " +
+      s"(${gks.filter(fetched.contains)})")
+  }
+
+  test("O14 restartByStatus re-injects archived tasks as forced candidates") {
+    val urls = (0 to 2).map(i => s"http://a.example/p/$i")
+    val pages = urls.zipWithIndex.map { case (u, i) =>
+      page(u, if (i < 2) Seq(urls(i + 1)) else Nil, s"t$i")
+    } :+ robots("a.example")
+    val ckpt = Files.createTempDirectory("graft_restart").toString
+    val eng = mkEngine(pages, Seq(ProjectSpec(unbounded("r"),
+      seeds = Seq(urls.head))), dir = ckpt)
+    eng.crawl(Nil, maxRounds = 8)
+    val n0 = eng.store.lastCommitted().get
+    val injected = eng.restartByStatus("r", Set(Status.Success))
+    assert(injected === 3L)
+    // drive the next rounds: the restarts must be re-fetched (304 — content
+    // unchanged and the etag rides along via D4 restart)
+    val n1 = eng.store.lastCommitted().get
+    (1 to 3).foreach(i => eng.runRound(n1 + i))
+    import org.apache.spark.sql.functions._
+    val m304 = eng.metricsDF().filter(col("round") > n0)
+      .agg(sum("fetch_304")).head().getLong(0)
+    assert(m304 === 3L, "restarted tasks were not re-fetched")
+  }
+
+  test("P15 send_message: project A's handler produces project B's result") {
+    val u0 = "http://a.example/p/0"
+    val pages = Seq(page(u0, Nil, "t0"), robots("a.example"))
+    val sender = new Handler {
+      def onPage(t: Task, p: FetchedPage): HandlerResult =
+        HandlerResult(result = """{"who": "a"}""",
+          messages = Seq(("pb", """{"greeting": "hello-b"}""")))
+    }
+    val receiver = new Handler {
+      def onPage(t: Task, p: FetchedPage): HandlerResult =
+        HandlerResult(result = p.save) // echo the (from, msg) envelope
+    }
+    val eng = mkEngine(pages, Seq(
+      ProjectSpec(unbounded("pa"), seeds = Seq(u0), seedCallback = "send",
+        callbacks = Map("send" -> sender)),
+      ProjectSpec(unbounded("pb"), callbacks = Map("_on_message" -> receiver))))
+    eng.crawl(Nil, maxRounds = 4)
+    val res = eng.resultsDF().collect()
+    val bRows = res.filter(_.getAs[String]("project") == "pb")
+    assert(bRows.length === 1)
+    assert(bRows.head.getAs[String]("url") === "data:,on_message")
+    assert(bRows.head.getAs[String]("result").contains("hello-b"))
+    assert(bRows.head.getAs[String]("result").contains("\"from\": \"pa\""))
+  }
+
+  test("F3 engine-path redirects: chains followed to final content; >5 hops error") {
+    val dst = "http://a.example/p/final"
+    val pages = Seq(
+      page("http://a.example/p/0",
+        Seq("http://a.example/r/1", "http://a.example/loop/1"), "t0"),
+      redirect("http://a.example/r/1", "http://a.example/r/2"),
+      redirect("http://a.example/r/2", dst),
+      page(dst, Nil, "FinalTitle"),
+      // 6-cycle: always still a stub after 5 hops → too many redirects
+      redirect("http://a.example/loop/1", "http://a.example/loop/2"),
+      redirect("http://a.example/loop/2", "http://a.example/loop/1"),
+      robots("a.example"))
+    val eng = mkEngine(pages, Seq(ProjectSpec(unbounded("rd"),
+      seeds = Seq("http://a.example/p/0"))))
+    eng.crawl(Nil, maxRounds = 8)
+    val arch = frontier.SeenSet.latest(
+      eng.store.readArchive(eng.store.lastCommitted().get)).collect()
+    val r1 = arch.find(_.url == "http://a.example/r/1").get
+    assert(r1.status === Status.Success)
+    assert(r1.track.fetch.redirect_url === dst) // followed to the final url
+    // the loop task 599s and enters the retry ladder — still live (ACTIVE)
+    // with the normalized error recorded after its first failure
+    val loop = eng.store.readLive(eng.store.lastCommitted().get)
+      .collect().find(_.url == "http://a.example/loop/1").get
+    assert(loop.status === Status.Active && loop.schedule.retried >= 1)
+    assert(loop.track.fetch.error.contains("too many redirects"))
+    // the redirect source's result carries the FINAL page's title
+    val res = eng.resultsDF().collect()
+      .find(_.getAs[String]("url") == "http://a.example/r/1").get
+    assert(res.getAs[String]("result").contains("FinalTitle"))
+  }
+
+  test("S8 saveHtml persists fetched bodies for opted-in projects only") {
+    val u0 = "http://a.example/p/0"; val u1 = "http://a.example/p/1"
+    val pages = Seq(page(u0, Seq(u1), "t0"), page(u1, Nil, "t1"),
+      robots("a.example"))
+    val eng = mkEngine(pages, Seq(
+      ProjectSpec(unbounded("keep").copy(saveHtml = true), seeds = Seq(u0)),
+      ProjectSpec(unbounded("drop"), seeds = Seq(u0))))
+    eng.crawl(Nil, maxRounds = 6)
+    val html = eng.htmlDF().collect()
+    assert(html.map(_.getAs[String]("project")).toSet === Set("keep"))
+    assert(html.length === 2)
+    val body = new String(html.find(_.getAs[String]("url") == u0).get
+      .getAs[Array[Byte]]("html"), "utf-8")
+    assert(body.contains("<h1>t0</h1>"))
+  }
+
+  test("same-round rediscovery: mutual links crawled in one round dedup exactly") {
+    // both seeds fetched in round 1; each links to the other → the follow
+    // rediscovers a taskid archived THIS round (the r1 blind spot)
+    val ua = "http://a.example/p/a"; val ub = "http://a.example/p/b"
+    val pages = Seq(page(ua, Seq(ub), "ta"), page(ub, Seq(ua), "tb"),
+      robots("a.example"))
+    val eng = mkEngine(pages, Seq(ProjectSpec(unbounded("mx"),
+      seeds = Seq(ua, ub))))
+    val stats = eng.crawl(Nil, maxRounds = 6)
+    // exactly 2 fetches ever; no duplicate archive rows; 1 archive row each
+    assert(stats.map(_.selected).sum === 2)
+    val arch = eng.store.readArchive(eng.store.lastCommitted().get).collect()
+    assert(arch.length === 2, s"duplicate archive rows: ${arch.map(_.url).toSeq}")
+    assert(arch.map(_.url).toSet === Set(ua, ub))
+  }
+
+  test("P16 RuleSpider: declarative follow/parse over the corpus") {
+    val list = "http://a.example/list/0"
+    val d1 = "http://a.example/detail/1"; val d2 = "http://a.example/detail/2"
+    val out = "http://b.example/detail/9"
+    val pages = Seq(page(list, Seq(d1, d2, out), "L"),
+      page(d1, Nil, "D1"), page(d2, Nil, "D2"), page(out, Nil, "X"),
+      robots("a.example"), robots("b.example"))
+    val spider = new RuleSpider("rule_page", Seq(
+      LinkRule(allow = "/detail/", allowDomains = Seq("a.example"),
+        emit = "detail", follow = Some(true)),
+      LinkRule(allow = "/list/", follow = Some(true))))
+    val eng = mkEngine(pages, Seq(ProjectSpec(unbounded("rs"),
+      seeds = Seq(list), seedCallback = "rule_page",
+      callbacks = Map("rule_page" -> spider))))
+    eng.crawl(Nil, maxRounds = 6)
+    val res = eng.resultsDF().collect().map(r =>
+      r.getAs[String]("url") -> r.getAs[String]("result")).toMap
+    assert(res.keySet === Set(d1, d2)) // only a.example details emit
+    assert(res(d1).contains("D1"))
+    val urls = frontier.SeenSet.latest(
+      eng.store.readArchive(eng.store.lastCommitted().get)).collect().map(_.url).toSet
+    assert(!urls.contains(out), "denied domain was followed")
+  }
+
+  test("P17 ProjectIni parses reference-style INI into ProjectSpecs") {
+    val ini =
+      """; comment
+        |[news]
+        |rate = 5
+        |burst = 10
+        |depth_limit = 3
+        |domain = a.example,b.example
+        |list_url_black_pattern = \.pdf$,/private/
+        |save_html = 1
+        |seeds = http://a.example/,http://b.example/
+        |every = 300
+        |
+        |[blog]
+        |callback = detail_page
+        |respect_robots = 0
+        |inqueue_limit = 500
+        |""".stripMargin
+    val specs = ProjectIni.parse(ini)
+    assert(specs.map(_.config.name) === Seq("news", "blog"))
+    val news = specs.head
+    assert(news.config.rate === 5.0 && news.config.burst === 10.0)
+    assert(news.config.depthLimit === 3)
+    assert(news.config.allowDomains === Seq("a.example", "b.example"))
+    assert(news.config.denyPattern === """(?:\.pdf$)|(?:/private/)""")
+    assert(news.config.saveHtml)
+    assert(news.seeds === Seq("http://a.example/", "http://b.example/"))
+    assert(news.cronEverySec === 300L)
+    val blog = specs(1)
+    assert(blog.config.rate === 3.0 && blog.config.burst === 30.0) // defaults
+    assert(!blog.config.respectRobots && blog.config.inqueueLimit === 500)
+    assert(blog.seedCallback === "detail_page")
+    // an INI-built engine runs end-to-end
+    val pages = Seq(page("http://a.example/", Nil, "root"), robots("a.example"))
+    val eng = mkEngine(pages, ProjectIni.parse(
+      "[mini]\nseeds = http://a.example/\ncallback = bfs_page\n"))
+    eng.crawl(Nil, maxRounds = 4)
+    assert(eng.resultsDF().count() === 1L)
+  }
+
+  test("F5 deterministic UA pick is stable and spread") {
+    import graft.functions.UaPool
+    val urls = (0 until 64).map(i => s"http://site$i.example/p/$i")
+    val picks = urls.map(UaPool.pick)
+    assert(picks.toSet.size > 1, "pool never rotates")
+    assert(urls.map(UaPool.pick) === picks, "pick is not stable")
+    // column twin agrees with the row path
+    val df = spark.createDataset(urls).toDF("url")
+      .select(col("url"), UaPool.idxCol(col("url")).as("idx")).collect()
+    df.foreach(r => assert(r.getInt(1) === UaPool.idx(r.getString(0))))
+  }
+}

@@ -97,7 +97,8 @@ class FrontierSpec extends AnyFunSuite {
       mkTask("fresh"),                                   // seen + age not expired → drop
       mkTask("expired", depth = 9),                      // age expired → restart, depth min(5,9)
       mkTask("retagged").copy(schedule = Schedule(itag = "v2")))) // itag change → restart
-    val out = Frontier.mergeIntoLive(live, cands, archive, bloom = None,
+    val out = Frontier.mergeIntoLive(live, cands, archive,
+        spark.emptyDataset[Task], bloom = None,
         now, round = 7, depthLimit = -1)
       .collect().map(t => t.taskid -> t).toMap
     assert(out.keySet === Set("pending", "brandnew", "expired", "retagged"))
