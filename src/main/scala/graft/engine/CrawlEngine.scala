@@ -43,7 +43,11 @@ case class EngineConfig(
     // round's live count exceeds this AND no politeness bound caps the batch,
     // the join strategy is left to AQE instead of a forced broadcast
     // (a 10^8-row BFS-explosion batch must never hit the 8 GB limit)
-    broadcastFetchMax: Long = 2_000_000L) {
+    broadcastFetchMax: Long = 2_000_000L,
+    // fold the archive log to latest-per-key every K rounds so readArchive
+    // stops unioning every round dir (round cost stays flat over a long
+    // crawl); 0 disables
+    compactEvery: Int = 16) {
   def allProjects: Seq[ProjectSpec] =
     if (projects.nonEmpty) projects
     else Seq(ProjectSpec(project, seeds, seedCallback, cronEverySec))
@@ -124,8 +128,9 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     if (!cfg.useBloom || seenBloom.isDefined) return
     val total = store.archiveTotalOf(upTo)
     if (total < cfg.bloomMinRows || total > cfg.bloomCap) return
-    seenBloom = Some(
-      store.readArchive(upTo).stat.bloomFilter("taskid", cfg.bloomExpected, 0.01))
+    seenBloom = Some( // coalesce: bound the per-partition bitmap partials
+      store.readArchive(upTo).toDF().coalesce(16).stat
+        .bloomFilter("taskid", cfg.bloomExpected, 0.01))
   }
 
   /** robots.txt rules parsed from the corpus itself (host → disallow
@@ -335,6 +340,19 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     val (hostTok, projTok) = store.readTokens(n - 1)
     val archiveTotal = store.archiveTotalOf(n - 1)
 
+    // fetch (S4) + process (P*). Round planning is SIZE-GATED on the
+    // politeness bound / previous live count:
+    //  - bounded round (the production shape): STATIC planning with explicit
+    //    broadcast hints on every candidate-derived side — no AQE re-planning
+    //    tax, the frontier/corpus always stream map-side;
+    //  - BFS-explosion round (bench ramp-up): hints off and AQE ON for this
+    //    round only — runtime stats pick shuffle vs broadcast per join, and
+    //    a 10^6-row batch is never forced through the driver as a broadcast.
+    val bcastHint = politenessBound <= cfg.broadcastFetchMax ||
+      store.liveRowsOf(n - 1).forall(_ <= cfg.broadcastFetchMax)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", (!bcastHint).toString)
+
     // O4 requeue + robots gate (per-project respectRobots — a disabled gate
     // actually disables), then O3 due / O2 priority / O5-O7 budgets
     val requeued = Frontier.reactivateTimeouts(live0, now, timeouts, maxTimeout)
@@ -346,20 +364,19 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
       headCfg.hostRate, headCfg.hostBurst, globalLoopLimit,
       dt, hostTok, projTok).as[Task])
 
-    // mark selected rows PROCESSING (the reference's processing queue, O4)
-    val selKeys = selected.select(col("project"), col("taskid")).withColumn("__sel", lit(true))
+    // mark selected rows PROCESSING (the reference's processing queue, O4).
+    // selKeys is two narrow columns bounded by the selection — broadcast (in
+    // bounded rounds) so the live frontier is never shuffled for the marking
+    val selKeys0 =
+      selected.select(col("project"), col("taskid")).withColumn("__sel", lit(true))
+    val selKeys = if (bcastHint) broadcast(selKeys0) else selKeys0
     val liveMarked = live.join(selKeys, Seq("project", "taskid"), "left_outer")
       .withColumn("status",
         when(col("__sel"), lit(Status.Processing)).otherwise(col("status")))
-      .withColumn("selected_at",
-        when(col("__sel"), lit(now)).otherwise(col("selected_at")))
+      .withColumn("selected_at", // dynLit: keep codegen source round-stable
+        when(col("__sel"), Frontier.dynLit(now)).otherwise(col("selected_at")))
       .drop("__sel").as[Task]
 
-    // fetch (S4) + process (P*). The broadcast of the selected batch is
-    // SIZE-GATED: forced only when the politeness bound or the previous
-    // round's live count guarantees a small batch; else AQE picks the join.
-    val bcastHint = politenessBound <= cfg.broadcastFetchMax ||
-      store.liveRowsOf(n - 1).forall(_ <= cfg.broadcastFetchMax)
     val fetchedRaw = fetcher.fetch(selected, hook(_), bcastHint)
     val fetched = if (saveHtmlProjects.nonEmpty) hook(fetchedRaw) else fetchedRaw
     val processed = hook(process(fetched, now))
@@ -371,7 +388,8 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     // O11-O13: statuses → live'; terminal rows split off to the archive log.
     // The parent pass is cached (hook) so the two split views share it.
     val (liveAfterStatus, archiveDelta) =
-      Frontier.applyStatus(liveMarked, packs, now, hook(_))
+      Frontier.applyStatus(liveMarked, packs, now, hook(_),
+        broadcastPacks = bcastHint)
 
     // O10 cron ticks (@every, scheduler.py:330-358): any tick in
     // ((n-1)*dt, n*dt] divisible by a project's interval re-injects that
@@ -399,7 +417,7 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
       liveAfterStatus)
     val newLive = hook(Frontier.mergeIntoLive(liveAfterStatus, candidates,
       store.readArchive(n - 1), archiveDelta, seenBloom, now, n,
-      depthLimit = -1, hook, depthLimits))
+      depthLimit = -1, hook, depthLimits, broadcastCands = bcastHint))
 
     // token carry (O5/O6 closed form) — one pass for both bucket kinds.
     // Host politeness is GLOBAL (one bucket per host across projects,
@@ -482,7 +500,10 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     // same-round rediscovery is already exact via mergeIntoLive's delta check
     seenBloom.foreach { bf =>
       if (archRows > 0)
-        bf.mergeInPlace(archiveDelta.toDF().stat
+        // coalesce first: bloomFilter aggregates ~5 MB bitmap partials PER
+        // PARTITION to the driver — 32 partials is a 150 MB RPC burst per
+        // round on a real cluster, 4 is plenty for a round-bounded delta
+        bf.mergeInPlace(archiveDelta.toDF().coalesce(4).stat
           .bloomFilter("taskid", cfg.bloomExpected, 0.01))
     }
 
@@ -491,6 +512,13 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
       Seq("live" -> liveRows, "archive_delta" -> archRows, "results" -> resultRows))
 
     cached.foreach(_.unpersist())
+    spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    // periodic archive compaction — amortized O(1)-ish round cost over long
+    // crawls (the compact snapshot replaces the per-round dir union)
+    if (cfg.compactEvery > 0 && n > 0 && n % cfg.compactEvery == 0)
+      timed("compactArchive")(store.compactArchive(n))
+
     RoundStats(n, now, selectedCount, liveRows, archRows, resultRows)
   }
 

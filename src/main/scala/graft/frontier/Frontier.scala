@@ -32,6 +32,15 @@ object Frontier {
     * driver-known) projects list with a default — no join, stays inside
     * whole-stage codegen. The scheduler's projects dict
     * (scheduler.py:90-149) restated as expressions. */
+  /** A round-varying scalar as a NON-FOLDABLE column. `lit(now)` constant-
+    * folds the value into the generated whole-stage source, so every round
+    * produces NEW codegen sources and every executor janino-compiles ~35
+    * MB-scale classes per round — serialized behind the per-executor compile
+    * lock (measured: the dominant non-scaling cost of a cluster round). A
+    * udf-backed scalar keeps the value in the plan's references array, the
+    * source text stable, and the codegen cache hot across rounds. */
+  def dynLit(v: Double): Column = udf(() => v).apply() // ScalaUDF: never folded
+
   def perProject(byProject: Map[String, Any], default: Any): Column =
     if (byProject.isEmpty || byProject.values.forall(_ == default)) lit(default)
     else coalesce(
@@ -43,7 +52,8 @@ object Frontier {
   /** O3 — due filter (task_queue.py:114-159): rows whose exetime has come.
     * Not-due rows simply stay in the frontier untouched. */
   def due(live: Dataset[Task], now: Double): Dataset[Task] =
-    live.filter(col("status") === Status.Active && col("schedule.exetime") <= now)
+    live.filter(col("status") === Status.Active &&
+      col("schedule.exetime") <= dynLit(now))
 
   /** O4 — processing-timeout requeue (task_queue.py:119,161-171): selected
     * rows that never reported a status within `timeout` go back to ACTIVE
@@ -61,7 +71,7 @@ object Frontier {
     // deserialize/reserialize of the frontier
     live.withColumn("status",
       when(col("status") === Status.Processing &&
-        col("selected_at") < lit(now) - perProject(timeouts, default),
+        col("selected_at") < dynLit(now) - perProject(timeouts, default),
         lit(Status.Active))
         .otherwise(col("status"))).as[Task]
   }
@@ -247,7 +257,8 @@ object Frontier {
                     bloom: Option[org.apache.spark.util.sketch.BloomFilter],
                     now: Double, round: Long, depthLimit: Int,
                     persistHook: Dataset[Task] => Dataset[Task] = identity,
-                    depthLimits: Map[String, Int] = Map.empty)
+                    depthLimits: Map[String, Int] = Map.empty,
+                    broadcastCands: Boolean = false)
                    (implicit spark: SparkSession): Dataset[Task] = {
     import spark.implicits._
 
@@ -281,10 +292,20 @@ object Frontier {
     //   (c) inserts: cands ▷ matched keys;
     //   (d) seen-set: bloom pre-filter, then archive ⋉ maybe-seen keys.
     val candsP = persistHook(cands)
-    val keyCond = live("project") === candsP("project") && live("taskid") === candsP("taskid")
+    // `hintB` marks candidate-derived (round-bounded) sides as broadcast
+    // builds when the caller's politeness bound holds, so the LIVE frontier
+    // and the ARCHIVE always stream map-side — with static planning (AQE
+    // off) the frontier would otherwise be shuffled by every one of these
+    // joins (measured 6-8 full-frontier exchanges per round)
+    def hintB[T](d: Dataset[T]): Dataset[T] =
+      if (broadcastCands) broadcast(d) else d
+    def hintBDF(d: DataFrame): DataFrame =
+      if (broadcastCands) broadcast(d) else d
+    val candsB = hintB(candsP)
+    val keyCond = live("project") === candsB("project") && live("taskid") === candsB("taskid")
 
     // (a) D2/D4 on rows already in the queue (scheduler.py:303-311)
-    val updatedLive = live.joinWith(candsP, keyCond, "left_outer").map {
+    val updatedLive = live.joinWith(candsB, keyCond, "left_outer").map {
       case (old, null) => old
       case (old, nw) =>
         if (old.status == Status.Active || old.status == Status.Processing) {
@@ -294,19 +315,22 @@ object Frontier {
 
     // (b)/(c) candidates that are NOT pending → provisional inserts
     val candKeys = candsP.select("project", "taskid")
-    val matchedKeys = live.join(candKeys, Seq("project", "taskid"), "left_semi")
+    val matchedKeys = live.join(hintBDF(candKeys), Seq("project", "taskid"), "left_semi")
       .select("project", "taskid")
     val inserts = candsP.toDF()
-      .join(matchedKeys, Seq("project", "taskid"), "left_anti")
+      .join(hintBDF(matchedKeys), Seq("project", "taskid"), "left_anti")
       .as[Task].map(_.copy(seq = round))
 
     // exact confirm of candidate inserts against a seen log: semi-join the
     // log on the (BROADCAST) candidate keys — the big side is filtered
     // map-side, never shuffled — then decide insert vs re-crawl (D4) vs drop
     def confirm(candsIn: Dataset[Task], seenLog: Dataset[Task]): Dataset[Task] = {
+      def hintB2(d: DataFrame): DataFrame =
+        if (broadcastCands) broadcast(d) else d
       val keys = candsIn.select("project", "taskid")
-      val matched = SeenSet.latest(
-        seenLog.join(keys, Seq("project", "taskid"), "left_semi").as[Task])
+      val matched0 = SeenSet.latest(
+        seenLog.join(hintB2(keys), Seq("project", "taskid"), "left_semi").as[Task])
+      val matched = if (broadcastCands) broadcast(matched0) else matched0
       val cond = candsIn("project") === matched("project") &&
         candsIn("taskid") === matched("taskid")
       candsIn.joinWith(matched, cond, "left_outer").flatMap {
@@ -366,12 +390,15 @@ object Frontier {
     *  - failure with retries left → retry with backoff ladder (O11);
     *  - exhausted → FAILED (archived).
     */
-  def applyStatus(live: Dataset[Task], packs: Dataset[StatusPack], now: Double,
-                  persistHook: Dataset[Task] => Dataset[Task] = identity)
+  def applyStatus(live: Dataset[Task], packs0: Dataset[StatusPack], now: Double,
+                  persistHook: Dataset[Task] => Dataset[Task] = identity,
+                  broadcastPacks: Boolean = false)
                  (implicit spark: SparkSession): (Dataset[Task], Dataset[Task]) = {
     import spark.implicits._
-    // packs are bounded by the round's selection; AQE broadcasts them when
-    // small so the live frontier streams map-side
+    // packs are bounded by the round's selection; with a politeness-bounded
+    // round the caller hints broadcast so the live frontier streams MAP-SIDE
+    // instead of being shuffled (static planner, AQE off)
+    val packs = if (broadcastPacks) broadcast(packs0) else packs0
     val cond = live("project") === packs("project") && live("taskid") === packs("taskid")
     val updated = live.joinWith(packs, cond, "left_outer").map {
       case (t, null) => t

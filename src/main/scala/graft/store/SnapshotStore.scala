@@ -80,11 +80,49 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
   def appendArchive(n: Long, delta: Dataset[Task]): Unit =
     delta.write.mode(SaveMode.Overwrite).parquet(s"$root/archive/round=$n")
 
-  /** Latest-wins log read over all committed archive deltas. */
+  // ---- archive compaction (VERDICT r1 scale item 2) ----------------------
+  // Without compaction readArchive unions EVERY round dir, so round cost
+  // grows O(rounds). compactArchive(n) folds the log ≤ n to latest-per-key;
+  // readers then see one compact snapshot + only the deltas after it.
+  // Atomicity: the _DONE marker is written last — a torn compaction is
+  // invisible and simply retried at the next cadence.
+
+  private def compactDir(n: Long) = s"$root/archive/compact=$n"
+  private def compactMarker(n: Long) = new Path(s"${compactDir(n)}/_DONE")
+
+  def compactions(): Seq[Long] = {
+    val p = new Path(s"$root/archive")
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("compact=") => s.stripPrefix("compact=").toLong }
+      .filter(n => fs.exists(compactMarker(n)))
+      .sorted
+  }
+
+  /** Fold the archive log up to round `n` into one latest-per-key snapshot.
+    * Written hash-distributed by (project, taskid) so the merge joins that
+    * consume it align with the file layout (Iceberg bucket partitioning at
+    * cluster scale). */
+  def compactArchive(n: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val snap = graft.frontier.SeenSet.latest(readArchive(n))
+      .toDF().repartition(col("project"), col("taskid")).as[Task]
+    snap.write.mode(SaveMode.Overwrite).parquet(compactDir(n))
+    val out = fs.create(compactMarker(n), true)
+    out.write("done".getBytes("UTF-8")); out.close()
+    // older compactions are now redundant — drop them (readers never pick a
+    // non-latest compaction, so deleting is safe at any time)
+    compactions().filter(_ < n).foreach(c =>
+      fs.delete(new Path(compactDir(c)), true))
+  }
+
+  /** Latest-wins log read: newest compaction ≤ upTo, plus deltas after it. */
   def readArchive(upTo: Long): Dataset[Task] = {
-    val dirs = committedRounds().filter(_ <= upTo)
-      .map(n => s"$root/archive/round=$n")
-      .filter(d => fs.exists(new Path(d)))
+    val base = compactions().filter(_ <= upTo).lastOption
+    val dirs = base.map(compactDir).toSeq ++
+      committedRounds().filter(n => n <= upTo && base.forall(n > _))
+        .map(n => s"$root/archive/round=$n")
+        .filter(d => fs.exists(new Path(d)))
     if (dirs.isEmpty) spark.emptyDataset[Task]
     else spark.read.parquet(dirs: _*).as[Task]
   }
@@ -183,5 +221,12 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     dropRounds(root); dropRounds(s"$root/archive")
     dropRounds(s"$root/results"); dropRounds(s"$root/metrics")
     dropRounds(s"$root/control"); dropRounds(s"$root/html")
+    // compactions newer than the resume point are torn state
+    val arch = new Path(s"$root/archive")
+    if (fs.exists(arch)) fs.listStatus(arch).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("compact=") && name.stripPrefix("compact=").toLong > n)
+        fs.delete(st.getPath, true)
+    }
   }
 }

@@ -15,13 +15,30 @@ object RoundProfile {
     val nPages = if (args.length > 1) args(1).toLong else 20000L
     val branch = if (args.length > 2) args(2).toInt else 3
     val nHosts = if (args.length > 3) args(3).toInt else 20
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+    // per-host budget per round (0 = unbounded): a tight budget forces a
+    // LONG crawl (many rounds) — the fixture for per-round flatness over
+    // ≥20 rounds with archive compaction
+    val hostBudget = if (args.length > 4) args(4).toDouble else 0.0
+    val maxRounds = if (args.length > 5) args(5).toInt else 25
+    // GRAFT_MASTER=spark://host:port profiles against an external standalone
+    // cluster (the bench protocol's execution model) instead of local[N]
+    val b = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", s"local[$cores]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_PARTITIONS", cores.toString))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("GRAFT_MASTER").foreach { _ =>
+      b.config("spark.executor.cores", "4")
+        .config("spark.executor.memory",
+          sys.env.getOrElse("GRAFT_EXEC_MEM", "10g"))
+      // system-classpath, NOT spark.jars: typed-API lambdas deserialized via
+      // the url-classloader hit SerializedLambda ClassCastExceptions
+      sys.env.get("GRAFT_JAR").foreach(j =>
+        b.config("spark.executor.extraClassPath", j))
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     implicit val s: SparkSession = spark
 
@@ -45,10 +62,13 @@ object RoundProfile {
       }
       override def onStageCompleted(st: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
-        taskTime.addAndGet(st.stageInfo.taskMetrics.executorRunTime)
+        val m = st.stageInfo.taskMetrics
+        taskTime.addAndGet(m.executorRunTime)
         jobDur.add((f"STAGE ntasks=${st.stageInfo.numTasks}%4d " +
-          st.stageInfo.name.take(70),
-          st.stageInfo.taskMetrics.executorRunTime))
+          f"gc=${m.jvmGCTime}%6d cpu=${m.executorCpuTime / 1000000}%7d " +
+          f"deser=${m.executorDeserializeTime}%6d " +
+          st.stageInfo.name.take(48),
+          m.executorRunTime))
       }
     })
 
@@ -57,13 +77,15 @@ object RoundProfile {
     corpus.count()
     println(f"corpus generated+cached in ${(System.nanoTime() - t00) / 1e9}%.1fs")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_profile").toString
+    val hr = if (hostBudget > 0) hostBudget / 30.0 else 1e9
+    val hb = if (hostBudget > 0) hostBudget else 1e9
     val engine = new CrawlEngine(corpus, EngineConfig(
       project = ProjectConfig("prof", rate = 1e9, burst = 1e9,
-        hostRate = 1e9, hostBurst = 1e9, loopLimit = Int.MaxValue / 2, depthLimit = -1),
+        hostRate = hr, hostBurst = hb, loopLimit = Int.MaxValue / 2, depthLimit = -1),
       seedCallback = "bfs_page", roundDt = 30.0, checkpointDir = ckpt))
     var n = engine.initOrResume(CorpusGen.seeds(nHosts))
     var done = false
-    while (!done && n < 25) {
+    while (!done && n < maxRounds) {
       n += 1
       val (j0, s0, t0, w0) = (jobs.get, stages.get, taskTime.get, System.nanoTime())
       val st = engine.runRound(n)
