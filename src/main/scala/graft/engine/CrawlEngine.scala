@@ -100,6 +100,15 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     .map(c => c.name -> (c.allowDomains.toSet, c.denyPattern)).toMap
   private val saveHtmlProjects: Set[String] = // S8
     configs.filter(_.saveHtml).map(_.name).toSet
+  // O15 — project lifecycle (projectdb statuses; scheduler task_verify
+  // accepts only DEBUG/RUNNING): a non-active project's rows are frozen in
+  // the frontier (never selected) and its new candidates are dropped
+  private val activeProjects: Set[String] =
+    configs.filter(c => ProjectConfig.isActive(c.status)).map(_.name).toSet
+  private val anyInactive = activeProjects.size < configs.size
+  private def onlyActive(ds: Dataset[Task]): Dataset[Task] =
+    if (!anyInactive) ds
+    else ds.filter(col("project").isin(activeProjects.toSeq: _*))
   private val maxTimeout = configs.map(_.processingTimeout).max
   private val globalLoopLimit = configs.map(_.loopLimit).max
   /** hard cap on a round's selection implied by per-project fairness caps;
@@ -313,6 +322,17 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     store.readControl(n + 1).count()
   }
 
+  /** O15 — project DELETE (reference scheduler._check_delete drops the
+    * project's taskdb/resultdb data): purge the project's frontier + seen-set
+    * physically and tombstone its results/html/metrics (logical delete,
+    * Iceberg-delete-file style; `store.vacuum()` does the physical rewrite).
+    * Re-adding the project later re-crawls from scratch. */
+  def deleteProject(project: String): Unit = {
+    val n = store.lastCommitted().getOrElse(
+      throw new IllegalStateException("nothing committed yet"))
+    store.purgeProject(n, project)
+  }
+
   private val phaseLog = sys.env.contains("GRAFT_PHASE_LOG")
   @inline private def timed[T](name: String)(body: => T): T = {
     if (!phaseLog) body
@@ -359,7 +379,7 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     val live = hook(
       if (anyRobots) Frontier.applyRobots(requeued, robotsRules, robotsRespect)
       else requeued)
-    val dueNow = Frontier.due(live, now)
+    val dueNow = onlyActive(Frontier.due(live, now)) // O15: frozen projects skipped
     val selected = hook(Frontier.select(dueNow.toDF(), configs,
       headCfg.hostRate, headCfg.hostBurst, globalLoopLimit,
       dt, hostTok, projTok).as[Task])
@@ -400,7 +420,8 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
         hi.toLong % everySec == 0
     }
     val cronCands: Dataset[Task] = specs
-      .filter(s => s.cronEverySec > 0 && seedsFor(s, cfg.seeds).nonEmpty &&
+      .filter(s => activeProjects.contains(s.config.name) && // O15
+        s.cronEverySec > 0 && seedsFor(s, cfg.seeds).nonEmpty &&
         tickDue(s.cronEverySec))
       .map(s => seedTasks(s, seedsFor(s, cfg.seeds)))
       .reduceOption(_ union _).getOrElse(spark.emptyDataset[Task])
@@ -413,7 +434,8 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     // log INCLUDING this round's delta — the archive is never shuffled, see
     // Frontier.mergeIntoLive)
     val candidates = applyInqueueLimit(
-      Frontier.mergeCandidates(follows.union(cronCands).union(controlCands)),
+      Frontier.mergeCandidates(
+        onlyActive(follows.union(cronCands).union(controlCands))), // O15
       liveAfterStatus)
     val newLive = hook(Frontier.mergeIntoLive(liveAfterStatus, candidates,
       store.readArchive(n - 1), archiveDelta, seenBloom, now, n,
@@ -550,7 +572,7 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
         // earliest future due time over the live set: ACTIVE rows become due
         // at exetime; PROCESSING rows at their timeout requeue. One tiny agg,
         // only ever run on quiet rounds.
-        val minDue = store.readLive(n)
+        val minDue = onlyActive(store.readLive(n)) // O15: frozen rows never due
           .select(min(when(col("status") === Status.Active, col("schedule.exetime"))
             .otherwise(col("selected_at") + maxTimeout)))
           .as[Option[Double]].head()

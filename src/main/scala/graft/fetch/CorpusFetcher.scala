@@ -33,11 +33,13 @@ object FetchService {
   * binaries, BENCH/BASELINE.md r1 item 2). */
 case class SlimTask(taskid: String, project: String, url: String,
                     host: String, depth: Int, callback: String,
-                    save: String, etag: String) {
+                    save: String, etag: String,
+                    fetchType: String = null, cookies: String = null) {
   def toTask: Task = Task(
     taskid = taskid, project = project, url = url, status = Status.Processing,
     host = host, depth = depth,
-    fetch = FetchOpts(etag = etag, save = save),
+    fetch = FetchOpts(etag = etag, save = save, fetch_type = fetchType,
+      cookies = cookies),
     process = ProcessOpts(callback = callback))
 }
 
@@ -80,27 +82,38 @@ class CorpusFetcher(corpus: Dataset[Page], maxRedirects: Int = 5)
     import spark.implicits._
     val hops = corpus.flatMap { p =>
       val head = new String(p.html, 0, math.min(400, p.html.length), "ISO-8859-1")
-      graft.process.HtmlLite.redirectTarget(head)
-        .map(t => (p.url, graft.url.UrlCanon.urljoin(p.url, t)))
-    }.toDF("src", "dst").cache()
+      graft.process.HtmlLite.redirectTarget(head).map { t =>
+        // F4: a redirect hop's Set-Cookie joins the chain's jar (stub pages
+        // are tiny — decode fully for the cookie metas)
+        val ck = graft.process.HtmlLite.setCookies(
+          new String(p.html, "ISO-8859-1"))
+        (p.url, graft.url.UrlCanon.urljoin(p.url, t),
+          if (ck.isEmpty) null else ck.mkString("; "))
+      }
+    }.toDF("src", "dst", "ck").cache()
     if (hops.isEmpty) { hops.unpersist(); None }
     else {
-      var resolved = hops.withColumn("hops", lit(1))
+      var resolved = hops.withColumn("hops", lit(1)).withColumn("cks", col("ck"))
       var i = 1
       while (i < maxRedirects) { // follow dst while it is itself a stub
         resolved = resolved.alias("r")
-          .join(hops.select(col("src").as("h_src"), col("dst").as("h_dst")),
+          .join(hops.select(col("src").as("h_src"), col("dst").as("h_dst"),
+              col("ck").as("h_ck")),
             col("r.dst") === col("h_src"), "left_outer")
           .select(col("r.src").as("src"),
             coalesce(col("h_dst"), col("r.dst")).as("dst"),
             (col("r.hops") +
-              when(col("h_dst").isNotNull, 1).otherwise(0)).as("hops"))
+              when(col("h_dst").isNotNull, 1).otherwise(0)).as("hops"),
+            when(col("h_dst").isNotNull, // followed → hop's cookies join the jar
+              concat_ws("; ", col("r.cks"), col("h_ck")))
+              .otherwise(col("r.cks")).as("cks"))
         i += 1
       }
       val finalMap = resolved // dst still a stub after maxRedirects → too many
         .join(hops.select(col("src").as("open")), col("dst") === col("open"), "left_outer")
         .select(col("src").as("__rsrc"), col("dst").as("__rdst"),
-          col("open").isNotNull.as("__rtoomany"))
+          col("open").isNotNull.as("__rtoomany"),
+          when(length(col("cks")) > 0, col("cks")).as("__rck"))
         .cache()
       finalMap.count()
       hops.unpersist()
@@ -127,7 +140,9 @@ class CorpusFetcher(corpus: Dataset[Page], maxRedirects: Int = 5)
     val slim = selected.select(
       col("taskid"), col("project"), col("url"), col("host"), col("depth"),
       col("process.callback").as("callback"), col("fetch.save").as("save"),
-      col("fetch.etag").as("etag"))
+      col("fetch.etag").as("etag"),
+      col("fetch.fetch_type").as("fetchType"),
+      col("fetch.cookies").as("cookies"))
     // S5/E9 — data: control rows resolve locally, no corpus access
     val isData = slim.filter(col("url").startsWith("data:")).as[SlimTask]
       .map { s =>
@@ -135,34 +150,40 @@ class CorpusFetcher(corpus: Dataset[Page], maxRedirects: Int = 5)
         val body = t.url.substring(t.url.indexOf(',') + 1)
         (t, FetchedPage(t.url, 200, Array.emptyByteArray, "utf-8", body,
           null, 0L, null, save = t.fetch.save,
-          ua = graft.functions.UaPool.pick(t.url)))
+          ua = graft.functions.UaPool.pick(t.url),
+          cookies = graft.process.HtmlLite.mergeCookies(Seq(s.cookies))))
       }
     val web = slim.filter(!col("url").startsWith("data:"))
 
     // F3: effective fetch url after redirect resolution (hits the stub map
-    // only when the corpus actually has stubs)
+    // only when the corpus actually has stubs); __chainck carries the F4
+    // cookie jar accumulated along the chain's hops
     val withEff = redirectMap match {
       case None => web
         .withColumn("__eff", col("url")).withColumn("__toomany", lit(false))
+        .withColumn("__chainck", lit(null).cast("string"))
       case Some(rm) => web
         .join(broadcast(rm), col("url") === col("__rsrc"), "left_outer")
         .withColumn("__eff", coalesce(col("__rdst"), col("url")))
         .withColumn("__toomany", coalesce(col("__rtoomany"), lit(false)))
-        .drop("__rsrc", "__rdst", "__rtoomany")
+        .withColumn("__chainck", col("__rck"))
+        .drop("__rsrc", "__rdst", "__rtoomany", "__rck")
     }
 
     val slimCols = Seq("taskid", "project", "url", "host", "depth",
-      "callback", "save", "etag").map(col)
+      "callback", "save", "etag", "fetchType", "cookies").map(col)
     val tooMany = withEff.filter(col("__toomany"))
       .select(slimCols: _*).as[SlimTask]
       .map { s =>
         val t = s.toTask
         (t, FetchedPage(t.url, 599, Array.emptyByteArray, null, "", null, 0L,
           s"HTTP 599: too many redirects (> $maxRedirects)",
-          ua = graft.functions.UaPool.pick(t.url)))
+          ua = graft.functions.UaPool.pick(t.url),
+          cookies = graft.process.HtmlLite.mergeCookies(Seq(s.cookies))))
       }
     val selDF = withEff.filter(!col("__toomany"))
-      .select(struct(slimCols: _*).as("_1"), col("__eff").as("__sel_url"))
+      .select(struct(slimCols: _*).as("_1"), col("__eff").as("__sel_url"),
+        col("__chainck"))
 
     // JOIN SHAPE: an outer join preserving `selected` can only broadcast the
     // corpus (illegal at 10^10 rows), so split it:
@@ -180,25 +201,33 @@ class CorpusFetcher(corpus: Dataset[Page], maxRedirects: Int = 5)
     val matched = corpus.toDF()
       .join(build, col("url") === col("__sel_url"), "inner")
       .select(col("_1"), col("warc_ts").as("_2"), col("html").as("_3"),
-        col("__sel_url").as("_4"))
+        col("__sel_url").as("_4"), col("__chainck").as("_5"))
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("_1.project"), col("_1.taskid"))
           .orderBy(col("_2").desc, md5(base64(col("_3"))).desc)))
       .filter(col("__rn") === 1).drop("__rn")
-      .as[(SlimTask, java.sql.Timestamp, Array[Byte], String)]
-    val hits = matched.map { case (s, ts, html, effUrl) =>
+      .as[(SlimTask, java.sql.Timestamp, Array[Byte], String, String)]
+    val hits = matched.map { case (s, ts, html, effUrl, chainCk) =>
       val t = s.toTask
       val hash = graft.url.UrlCanon.md5Hex(
         java.util.Base64.getEncoder.encodeToString(html))
       val ua = graft.functions.UaPool.pick(t.url)
       if (t.fetch.etag != null && t.fetch.etag == hash) {
+        // 304: no body — the jar is task cookies + redirect-chain cookies
         (t, FetchedPage(effUrl, 304, Array.emptyByteArray, null, "", hash,
-          ts.getTime, null, ua = ua))
+          ts.getTime, null, ua = ua,
+          cookies = graft.process.HtmlLite.mergeCookies(Seq(s.cookies, chainCk))))
       } else {
-        val (text, enc) = graft.process.HtmlLite.decodeAuto(html)
+        val (raw, enc) = graft.process.HtmlLite.decodeAuto(html)
+        // F1/S6 — js-typed rows get the deterministic render pass (comment-
+        // wrapped script DOM unwrapped); static fetches parse the source only
+        val text = if (s.fetchType == "js") graft.process.HtmlLite.renderJs(raw)
+                   else raw
+        val jar = graft.process.HtmlLite.mergeCookies(
+          Seq(s.cookies, chainCk) ++ graft.process.HtmlLite.setCookies(raw))
         (t, FetchedPage(effUrl, 200, html, enc, text, hash, ts.getTime, null,
-          ua = ua))
+          ua = ua, cookies = jar))
       }
     }
     val resolved = hook(hits.union(isData).union(tooMany))
@@ -212,7 +241,8 @@ class CorpusFetcher(corpus: Dataset[Page], maxRedirects: Int = 5)
         (t, FetchedPage(t.url, statusCode = 599, html = Array.emptyByteArray,
           encoding = null, text = "", contentHash = null, warcTs = 0L,
           error = "HTTP 599: corpus miss",
-          ua = graft.functions.UaPool.pick(t.url)))
+          ua = graft.functions.UaPool.pick(t.url),
+          cookies = graft.process.HtmlLite.mergeCookies(Seq(s.cookies))))
       }
     resolved.union(misses)
   }

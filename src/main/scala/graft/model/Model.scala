@@ -35,9 +35,13 @@ case class FetchOpts(
     etag: String = null,
     last_modified: String = null,
     save: String = null, // JSON payload passed through to the handler
-    fetch_type: String = null, // null | "js" (S6 rows routed but not rendered)
+    fetch_type: String = null, // null | "js" (S6/F1: js rows get the render pass)
     allow_redirects: Boolean = true,
-    max_redirects: Int = 5)
+    max_redirects: Int = 5,
+    // F4 — request cookies ("k=v; k2=v2"), merged with every Set-Cookie
+    // along the redirect chain (tornado_fetcher.py cookie tracking); the
+    // merged jar is visible to the handler on FetchedPage.cookies
+    cookies: String = null)
 
 case class ProcessOpts(callback: String = "index_page")
 
@@ -113,7 +117,21 @@ case class ProjectConfig(
     respectRobots: Boolean = true, // NEW scope (north rule); reference has none
     allowDomains: Seq[String] = Nil, // P7 allow-list; empty = all
     denyPattern: String = null,      // P7 deny regex
-    saveHtml: Boolean = false)       // S8 raw-HTML sink (save_html.py:23-52)
+    saveHtml: Boolean = false,       // S8 raw-HTML sink (save_html.py:23-52)
+    // O15 — project lifecycle (reference projectdb statuses, database/base/
+    // projectdb.py:16 'TODO,STOP,CHECKING,DEBUG,RUNNING'; scheduler
+    // task_verify accepts only DEBUG/RUNNING): a non-active project's live
+    // rows are never selected and its new candidates are dropped at admission
+    status: String = ProjectConfig.Running)
+
+object ProjectConfig {
+  val Running = "RUNNING"
+  val Debug = "DEBUG"
+  val Stop = "STOP"
+  val Todo = "TODO"
+  val Checking = "CHECKING"
+  def isActive(status: String): Boolean = status == Running || status == Debug
+}
 
 object Retry {
   /** reference scheduler.py:44-50 DEFAULT_RETRY_DELAY:

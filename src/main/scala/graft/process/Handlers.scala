@@ -16,7 +16,11 @@ case class FetchedPage(
     warcTs: Long,
     error: String,
     save: String = null, // control payload (P15 _on_message: {"from","msg"})
-    ua: String = null) // F5: deterministic UA pick for the request
+    ua: String = null, // F5: deterministic UA pick for the request
+    // F4 — merged cookie jar after the fetch: task cookies + every
+    // Set-Cookie along the redirect chain + the final page's Set-Cookie,
+    // later-wins per key ("k=v; k2=v2", keys sorted)
+    cookies: String = null)
 
 /** What a callback asks the engine to do next — the typed restatement of
   * `self.crawl(...)` kwargs (reference spider/base_handler.py:259-361). */
@@ -29,7 +33,9 @@ case class FollowSpec(
     itag: String = null,
     forceUpdate: Boolean = false,
     autoRecrawl: Boolean = false,
-    save: String = null)
+    save: String = null,
+    fetchType: String = null,  // F1/S6: "js" routes through the render pass
+    cookies: String = null)    // F4: request cookies for the follow
 
 case class HandlerResult(
     follows: Seq[FollowSpec] = Nil,
@@ -134,7 +140,8 @@ object Handlers {
         itag = f.itag,
         force_update = f.forceUpdate,
         auto_recrawl = f.autoRecrawl),
-      fetch = FetchOpts(save = f.save),
+      fetch = FetchOpts(save = f.save, fetch_type = f.fetchType,
+        cookies = f.cookies),
       process = ProcessOpts(callback = f.callback),
       updatetime = now)
   }

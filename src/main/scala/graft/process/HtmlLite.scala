@@ -87,11 +87,21 @@ object HtmlLite extends Serializable {
     // other
     "css", "pdf", "exe", "bin", "rss", "zip", "rar")
 
+  private val Comment = """(?s)<!--.*?-->""".r
+
+  /** lxml parity: comments are parse-tree noise, never DOM — links (or any
+    * markup) inside `<!-- -->` are invisible to a static parse. This is what
+    * makes the F1 js-render stub faithful: un-executed script DOM (comment-
+    * wrapped) is NOT followed; `renderJs` unwraps it for js-typed fetches. */
+  private def stripComments(html: String): String =
+    if (html.indexOf("<!--") < 0) html else Comment.replaceAllIn(html, "")
+
   /** `//a/@href` over the closed grammar, absolutized against `baseUrl`,
     * javascript:/mailto: dropped, non-http(s) schemes dropped, ignored
     * extensions dropped, order-preserving dedup
     * (spider/lxml_extractor.py:66-123). */
-  def extractLinks(html: String, baseUrl: String): Seq[String] = {
+  def extractLinks(html0: String, baseUrl: String): Seq[String] = {
+    val html = stripComments(html0)
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     Href.findAllMatchIn(html).foreach { m =>
       val raw = unescapeHtml(m.group(1)).trim
@@ -135,6 +145,42 @@ object HtmlLite extends Serializable {
     if (html.length < prefix.length ||
         !html.regionMatches(true, 0, prefix, 0, prefix.length)) None
     else MetaRefresh.findFirstMatchIn(html).map(m => unescapeHtml(m.group(1)).trim)
+  }
+
+  private val JsDom = """(?s)<!--graft-js-dom(.*?)-->""".r
+
+  /** F1/S6 — deterministic stand-in for the reference's phantomjs render
+    * (tornado_fetcher.py:455-480 routes fetch_type='js' to the phantomjs
+    * proxy, which returns script-built DOM). The corpus models script-built
+    * content as comment-wrapped blocks `<!--graft-js-dom ... -->`: a comment
+    * is invisible to ANY static HTML parse (lxml ignores comments, and so
+    * does `extractLinks`), exactly like un-executed script output; a js-typed
+    * fetch "executes" by unwrapping the comment into live DOM. CLEARLY A
+    * STUB: no real js engine runs in this container. */
+  def renderJs(html: String): String =
+    JsDom.replaceAllIn(html,
+      m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
+
+  private val SetCookieMeta =
+    """(?i)<meta\s[^>]*name\s*=\s*["']?graft-set-cookie["']?[^>]*content\s*=\s*"([^"]*)"""".r
+
+  /** F4 — Set-Cookie headers of a WARC-style snapshot, modeled as meta tags
+    * (a corpus page has no transport headers). Each content value is one
+    * "k=v" pair; document order preserved. */
+  def setCookies(html: String): Seq[String] =
+    SetCookieMeta.findAllMatchIn(html).map(m => unescapeHtml(m.group(1))).toSeq
+
+  /** F4 — cookie-jar merge, later-wins per key (the jar semantics tornado's
+    * CookieTracker applies across a redirect chain). Parts are "k=v; k2=v2"
+    * strings in arrival order; output is deterministic (sorted by key). */
+  def mergeCookies(parts: Seq[String]): String = {
+    val jar = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    parts.filter(p => p != null && p.nonEmpty).foreach(_.split(";").foreach { kv =>
+      val eq = kv.indexOf('=')
+      if (eq > 0) jar += kv.substring(0, eq).trim -> kv.substring(eq + 1).trim
+    })
+    if (jar.isEmpty) null
+    else jar.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("; ")
   }
 
   /** robots.txt parse (new scope per north rule; reference has none —

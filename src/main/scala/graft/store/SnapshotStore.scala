@@ -102,10 +102,14 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
   /** Fold the archive log up to round `n` into one latest-per-key snapshot.
     * Written hash-distributed by (project, taskid) so the merge joins that
     * consume it align with the file layout (Iceberg bucket partitioning at
-    * cluster scale). */
-  def compactArchive(n: Long): Unit = {
+    * cluster scale). `exclude` drops whole projects during the fold (O15
+    * delete: the compaction IS the physical purge). */
+  def compactArchive(n: Long, exclude: Set[String] = Set.empty): Unit = {
     import org.apache.spark.sql.functions.col
-    val snap = graft.frontier.SeenSet.latest(readArchive(n))
+    val base = graft.frontier.SeenSet.latest(readArchive(n))
+    val kept = if (exclude.isEmpty) base
+               else base.filter(t => !exclude.contains(t.project))
+    val snap = kept
       .toDF().repartition(col("project"), col("taskid")).as[Task]
     snap.write.mode(SaveMode.Overwrite).parquet(compactDir(n))
     val out = fs.create(compactMarker(n), true)
@@ -149,7 +153,8 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
   def readHtml(): DataFrame = {
     val dirs = committedRounds().map(n => s"$root/html/round=$n")
       .filter(d => fs.exists(new Path(d)))
-    if (dirs.isEmpty) spark.emptyDataFrame else spark.read.parquet(dirs: _*)
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else dropDeleted(spark.read.parquet(dirs: _*))
   }
 
   def appendMetrics(n: Long, metrics: DataFrame): Unit =
@@ -158,13 +163,81 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
   def readResults(): DataFrame = {
     val dirs = committedRounds().map(n => s"$root/results/round=$n")
       .filter(d => fs.exists(new Path(d)))
-    if (dirs.isEmpty) spark.emptyDataFrame else spark.read.parquet(dirs: _*)
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else dropDeleted(spark.read.parquet(dirs: _*))
+  }
+
+  // ---- O15 project delete (projectdb 'STOP'+delete group; the reference
+  // scheduler drops the project's taskdb/resultdb data, scheduler.py
+  // _check_delete). Deletion is LOGICAL first (a tombstone marker filters
+  // every read — O(1), like Iceberg delete files), with the heavyweight
+  // physical rewrite folded into the normal compaction/vacuum cadence.
+
+  private def tombstoneDir = s"$root/_deleted"
+  private def tombstone(project: String) =
+    new Path(s"$tombstoneDir/${java.net.URLEncoder.encode(project, "UTF-8")}")
+
+  def deletedProjects(): Set[String] = {
+    val p = new Path(tombstoneDir)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(st =>
+      java.net.URLDecoder.decode(st.getPath.getName, "UTF-8")).toSet
+  }
+
+  private def dropDeleted(df: DataFrame): DataFrame = {
+    val dead = deletedProjects()
+    if (dead.isEmpty) df
+    else df.filter(!org.apache.spark.sql.functions.col("project")
+      .isin(dead.toSeq: _*))
+  }
+
+  /** Purge `project` at committed round `n`: tombstone (logical, instant for
+    * results/html/metrics readers) + physical rewrite of the LIVE frontier
+    * (swap-in replace) and the archive (compaction with exclusion) so the
+    * seen-set forgets the project — re-adding it later re-crawls from
+    * scratch, matching a reference project delete + re-create. */
+  def purgeProject(n: Long, project: String): Unit = {
+    val out = fs.create(tombstone(project), true)
+    out.write("deleted".getBytes("UTF-8")); out.close()
+    // live: materialize the filtered set NEXT TO the old dir, then swap
+    val liveDir = new Path(s"${roundDir(n)}/live")
+    val tmpDir = new Path(s"${roundDir(n)}/live__purge")
+    readLive(n).filter(t => t.project != project)
+      .write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+    fs.delete(liveDir, true)
+    fs.rename(tmpDir, liveDir)
+    // archive: fold to a compaction that excludes the project (also removes
+    // the per-round delta dirs from the read path)
+    compactArchive(n, exclude = Set(project))
+  }
+
+  /** Physically drop tombstoned projects from the append-only logs
+    * (results/html/metrics) and clear the tombstones. O(round dirs) — run
+    * at leisure, reads are already correct via the tombstone filter. */
+  def vacuum(): Unit = {
+    val dead = deletedProjects()
+    if (dead.isEmpty) return
+    import org.apache.spark.sql.functions.col
+    Seq("results", "html", "metrics").foreach { kind =>
+      committedRounds().map(k => s"$root/$kind/round=$k")
+        .filter(d => fs.exists(new Path(d))).foreach { d =>
+          val kept = spark.read.parquet(d)
+            .filter(!col("project").isin(dead.toSeq: _*)).cache()
+          kept.count() // materialize before the overwrite
+          kept.write.mode(SaveMode.Overwrite).parquet(s"$d.__vac")
+          kept.unpersist()
+          fs.delete(new Path(d), true)
+          fs.rename(new Path(s"$d.__vac"), new Path(d))
+        }
+    }
+    dead.foreach(p => fs.delete(tombstone(p), false))
   }
 
   def readMetrics(): DataFrame = {
     val dirs = committedRounds().map(n => s"$root/metrics/round=$n")
       .filter(d => fs.exists(new Path(d)))
-    if (dirs.isEmpty) spark.emptyDataFrame else spark.read.parquet(dirs: _*)
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else dropDeleted(spark.read.parquet(dirs: _*))
   }
 
   /** Commit marker with per-partition lineage counts (north rule). */

@@ -329,6 +329,119 @@ class EngineKnobsSpec extends AnyFunSuite {
     assert(eng.resultsDF().count() === 1L)
   }
 
+  test("O15 lifecycle: a STOP project is frozen — never selected, candidates dropped") {
+    val u0 = "http://a.example/p/0"; val u1 = "http://a.example/p/1"
+    val pages = Seq(page(u0, Seq(u1), "t0"), page(u1, Nil, "t1"),
+      robots("a.example"))
+    val eng = mkEngine(pages, Seq(
+      ProjectSpec(unbounded("run"), seeds = Seq(u0)),
+      ProjectSpec(unbounded("frozen").copy(status = ProjectConfig.Stop),
+        seeds = Seq(u0))))
+    eng.crawl(Nil, maxRounds = 6)
+    val n = eng.store.lastCommitted().get
+    val arch = frontier.SeenSet.latest(eng.store.readArchive(n)).collect()
+    assert(arch.map(_.project).toSet === Set("run"))
+    assert(arch.count(_.status == Status.Success) === 2)
+    // the frozen project's seed row stays parked in the live frontier
+    val frozenLive = eng.store.readLive(n).collect().filter(_.project == "frozen")
+    assert(frozenLive.map(_.url).toSeq === Seq(u0))
+    assert(frozenLive.head.status === Status.Active)
+    assert(eng.resultsDF().collect().forall(_.getAs[String]("project") == "run"))
+  }
+
+  test("O15 delete: purges frontier + seen-set, tombstones results, vacuum rewrites") {
+    val u0 = "http://a.example/p/0"; val u1 = "http://a.example/p/1"
+    val pages = Seq(page(u0, Seq(u1), "t0"), page(u1, Nil, "t1"),
+      robots("a.example"))
+    val eng = mkEngine(pages, Seq(
+      ProjectSpec(unbounded("keep"), seeds = Seq(u0)),
+      ProjectSpec(unbounded("dead"), seeds = Seq(u0))))
+    eng.crawl(Nil, maxRounds = 6)
+    assert(eng.resultsDF().filter(col("project") === "dead").count() === 2L)
+    eng.deleteProject("dead")
+    val n = eng.store.lastCommitted().get
+    assert(eng.store.readLive(n).collect().forall(_.project == "keep"))
+    assert(eng.store.readArchive(n).collect().forall(_.project == "keep"))
+    assert(eng.resultsDF().filter(col("project") === "dead").count() === 0L)
+    assert(eng.metricsDF().filter(col("project") === "dead").count() === 0L)
+    // the surviving project's data is intact
+    assert(eng.resultsDF().filter(col("project") === "keep").count() === 2L)
+    // physical vacuum clears the tombstone and keeps reads identical
+    eng.store.vacuum()
+    assert(eng.store.deletedProjects().isEmpty)
+    assert(eng.resultsDF().filter(col("project") === "dead").count() === 0L)
+    assert(eng.resultsDF().filter(col("project") === "keep").count() === 2L)
+  }
+
+  test("F4 cookie jar: task cookies + redirect-chain Set-Cookie + page Set-Cookie, later wins") {
+    val dst = "http://a.example/p/final"
+    def stub(url: String, target: String, ck: String): Page =
+      Page(url, new Timestamp(1000L),
+        (s"""<html><head><meta http-equiv="refresh" content="0; url=$target"/>""" +
+          s"""<meta name="graft-set-cookie" content="$ck"/></head></html>""")
+          .getBytes("utf-8"), "", "en")
+    val finalHtml =
+      """<html><head><title>F</title><meta name="graft-set-cookie" content="c=3"/></head>""" +
+        """<body><h1>F</h1></body></html>"""
+    val pages = Seq(
+      page("http://a.example/p/0", Nil, "t0"),
+      stub("http://a.example/r/1", "http://a.example/r/2", "a=1"),
+      stub("http://a.example/r/2", dst, "b=2; a=9"),
+      Page(dst, new Timestamp(1000L), finalHtml.getBytes("utf-8"), "F", "en"),
+      robots("a.example"))
+    val boot = new Handler {
+      def onPage(t: Task, p: FetchedPage): HandlerResult =
+        HandlerResult(follows = Seq(FollowSpec("http://a.example/r/1",
+          callback = "probe", cookies = "z=0; a=0")))
+    }
+    val probe = new Handler {
+      def onPage(t: Task, p: FetchedPage): HandlerResult =
+        HandlerResult(result = process.Handlers.jsonStr(
+          String.valueOf(p.cookies)))
+    }
+    val eng = mkEngine(pages, Seq(ProjectSpec(unbounded("ck"),
+      seeds = Seq("http://a.example/p/0"), seedCallback = "boot",
+      callbacks = Map("boot" -> boot, "probe" -> probe))))
+    eng.crawl(Nil, maxRounds = 6)
+    val res = eng.resultsDF().collect()
+      .find(_.getAs[String]("url") == "http://a.example/r/1").get
+    // merge order: task (z=0; a=0) → hop1 (a=1) → hop2 (b=2; a=9) → page (c=3)
+    assert(res.getAs[String]("result") === "\"a=9; b=2; c=3; z=0\"")
+  }
+
+  test("F1/S6 js dispatch: comment-wrapped script DOM followed only by js-typed fetch") {
+    val jsUrl = "http://a.example/js/1"
+    val jsHtml =
+      """<html><head><title>J</title></head><body><h1>J</h1>""" +
+        """<a href="/s/1">s</a><!--graft-js-dom <a href="/j/1">j</a>--></body></html>"""
+    val pages = Seq(
+      Page(jsUrl, new Timestamp(1000L), jsHtml.getBytes("utf-8"), "J", "en"),
+      page("http://a.example/s/1", Nil, "S"),
+      page("http://a.example/j/1", Nil, "Jdom"),
+      robots("a.example"))
+    def boot(fetchType: String) = new Handler {
+      def onPage(t: Task, p: FetchedPage): HandlerResult =
+        HandlerResult(follows =
+          Seq(FollowSpec(jsUrl, callback = "bfs_page", fetchType = fetchType)))
+    }
+    val eng = mkEngine(pages, Seq(
+      ProjectSpec(unbounded("static"), seeds = Seq("data:,boot"),
+        seedCallback = "boot", callbacks = Map("boot" -> boot(null))),
+      ProjectSpec(unbounded("jsproj"), seeds = Seq("data:,boot"),
+        seedCallback = "boot", callbacks = Map("boot" -> boot("js")))))
+    eng.crawl(Nil, maxRounds = 6)
+    val seen = frontier.SeenSet.latest(
+        eng.store.readArchive(eng.store.lastCommitted().get))
+      .collect().groupBy(_.project)
+    def urls(p: String) = seen(p).map(_.url).toSet
+    assert(urls("static").contains("http://a.example/s/1"))
+    assert(!urls("static").contains("http://a.example/j/1"),
+      "static parse followed un-executed script DOM")
+    assert(urls("jsproj").contains("http://a.example/s/1"))
+    assert(urls("jsproj").contains("http://a.example/j/1"),
+      "js render did not surface the script DOM link")
+  }
+
   test("F5 deterministic UA pick is stable and spread") {
     import graft.functions.UaPool
     val urls = (0 until 64).map(i => s"http://site$i.example/p/$i")
