@@ -39,11 +39,14 @@ case class EngineConfig(
     cronEverySec: Long = 0L, // O10: @every interval in logical secs; 0 = off
     seeds: Seq[String] = Nil, // re-injected by each due cron tick
     projects: Seq[ProjectSpec] = Nil, // multi-project mode when non-empty
-    // size gate for the fetch join's build-side broadcast: when the previous
-    // round's live count exceeds this AND no politeness bound caps the batch,
-    // the join strategy is left to AQE instead of a forced broadcast
-    // (a 10^8-row BFS-explosion batch must never hit the 8 GB limit)
-    broadcastFetchMax: Long = 2_000_000L,
+    // size gate for every candidate-derived broadcast (fetch build side,
+    // status packs, merge candidates): bounded batches broadcast (the big
+    // frontier/archive/corpus sides stream map-side, zero exchange); bigger
+    // batches switch to SHUFFLE_HASH co-partitioned joins — a 10^6-row
+    // broadcast is a serial driver-side collect (the measured scaling
+    // killer) and must never happen. Status/merge gates use the ROUND'S
+    // MEASURED counts (selected / emitted follows), not an estimate.
+    broadcastFetchMax: Long = 200_000L,
     // fold the archive log to latest-per-key every K rounds so readArchive
     // stops unioning every round dir (round cost stays flat over a long
     // crawl); 0 disables
@@ -58,8 +61,10 @@ case class RoundStats(round: Long, now: Double, selected: Long, newLive: Long,
 
 /** One page processed by a handler. Everything the scheduler + result worker
   * need flows out of one `mapPartitions` pass (reference processor,
-  * pyspider-master/pyspider/processor/processor.py:109-211). */
-case class ProcessOut(status: StatusPack, follows: Seq[Task], result: ResultRow)
+  * pyspider-master/pyspider/processor/processor.py:109-211). Follows ride as
+  * FLAT FollowLite rows — encoding a full nested Task per extracted link was
+  * measured as the dominant cost of a BFS round. */
+case class ProcessOut(status: StatusPack, follows: Seq[FollowLite], result: ResultRow)
 
 /** The crawl loop: each reference scheduler tick (scheduler.py:524-554)
   * becomes one deterministic batch ROUND — a single Dataset DAG from
@@ -147,7 +152,13 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     * relation, so the per-round robots gate never re-scans the corpus
     * (broadcasting a local relation is driver-side only). */
   lazy val robotsRules: DataFrame = {
-    val rows = corpus
+    // scan the fetcher's cached url-unique view when available (one corpus
+    // materialization serves fetch + robots + redirects)
+    val src = fetcher match {
+      case c: CorpusFetcher => c.view
+      case _ => corpus
+    }
+    val rows = src
       .filter(col("url").endsWith("/robots.txt"))
       .map { p =>
         val host = UrlCanon.mainDomain(p.url)
@@ -224,7 +235,7 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
                 exception = s"unknown callback: ${task.process.callback}"), false)
           }
         val follows = if (skipped) Nil else hr.follows.map(f =>
-          Handlers.mkTask(task, f, now, task.project))
+          Handlers.mkFollow(task, f, now, task.project))
         val status = StatusPack(
           taskid = task.taskid, project = task.project,
           fetchOk = fetchOk, statusCode = page.statusCode, fetchTime = 0.0,
@@ -258,7 +269,7 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
               catch { case e: Exception =>
                 graft.process.HandlerResult(ok = false,
                   exception = s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-            val mFollows = r.follows.map(f => Handlers.mkTask(mTask, f, now, toProj))
+            val mFollows = r.follows.map(f => Handlers.mkFollow(mTask, f, now, toProj))
             ProcessOut(
               StatusPack(mTask.taskid, toProj, fetchOk = true, statusCode = 200,
                 fetchTime = 0.0, encoding = "utf-8", contentHash = null,
@@ -276,21 +287,16 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
   }
 
   /** P7 — allow/deny follow filters (reference spider/lxml_extractor.py:
-    * 92-123), per project; compiled once per partition. */
-  private def applyFollowFilters(follows: Dataset[Task]): Dataset[Task] =
+    * 92-123), per project, as COLUMNAR predicates over the flat follow
+    * stream (RLIKE is java-regex find(), matching the reference's
+    * Pattern.search semantics). Identity when no project configures one. */
+  private def applyFollowFilters(follows: DataFrame): DataFrame =
     if (followFilters.isEmpty) follows
-    else {
-      val filters = followFilters
-      follows.mapPartitions { it =>
-        val compiled = filters.map { case (p, (allow, deny)) =>
-          p -> (allow, Option(deny).map(java.util.regex.Pattern.compile)) }
-        it.filter { t =>
-          compiled.get(t.project).forall { case (allow, denyP) =>
-            (allow.isEmpty || allow.contains(t.host)) &&
-              denyP.forall(dp => !dp.matcher(t.url).find())
-          }
-        }
-      }
+    else followFilters.foldLeft(follows) { case (df, (p, (allow, deny))) =>
+      df.filter(col("project") =!= p ||
+        ((if (allow.isEmpty) lit(true)
+          else col("host").isin(allow.toSeq: _*)) &&
+         (if (deny == null) lit(true) else !col("url").rlike(deny))))
     }
 
   /** O9 — INQUEUE_LIMIT (scheduler.py:41,314-316): while a project's pending
@@ -350,7 +356,7 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
   def runRound(n: Long): RoundStats = {
     val now = n * cfg.roundDt
     val dt = cfg.roundDt
-    maybeInitBloom(n - 1)
+    timed("bloom.init")(maybeInitBloom(n - 1))
     val cached = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
     def hook[T](d: Dataset[T]): Dataset[T] = {
       val h = d.persist(StorageLevel.MEMORY_AND_DISK); cached += h; h
@@ -360,21 +366,23 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     val (hostTok, projTok) = store.readTokens(n - 1)
     val archiveTotal = store.archiveTotalOf(n - 1)
 
-    // fetch (S4) + process (P*). Round planning is SIZE-GATED on the
-    // politeness bound / previous live count:
-    //  - bounded round (the production shape): STATIC planning with explicit
-    //    broadcast hints on every candidate-derived side — no AQE re-planning
-    //    tax, the frontier/corpus always stream map-side;
-    //  - BFS-explosion round (bench ramp-up): hints off and AQE ON for this
-    //    round only — runtime stats pick shuffle vs broadcast per join, and
-    //    a 10^6-row batch is never forced through the driver as a broadcast.
-    val bcastHint = politenessBound <= cfg.broadcastFetchMax ||
+    // fetch (S4) + process (P*). Round planning is SIZE-GATED, always with
+    // STATIC plans (no AQE re-planning tax):
+    //  - bounded round (the production shape): broadcast hints on every
+    //    candidate-derived side — the frontier/corpus stream map-side;
+    //  - BFS-explosion round (bench ramp-up): SHUFFLE_HASH hints — executor-
+    //    parallel co-partitioned joins, no sorts, and NO driver-side collect
+    //    of a 10^6-row batch (a large broadcast is serial driver time: the
+    //    measured reason cluster scaling was flat).
+    // The fetch decision must be made BEFORE the batch is materialized, so
+    // it uses the politeness bound / previous live count; the status/merge
+    // decisions below use the round's MEASURED counts.
+    val bcastFetch = politenessBound <= cfg.broadcastFetchMax ||
       store.liveRowsOf(n - 1).forall(_ <= cfg.broadcastFetchMax)
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", (!bcastHint).toString)
 
     // O4 requeue + robots gate (per-project respectRobots — a disabled gate
     // actually disables), then O3 due / O2 priority / O5-O7 budgets
+    val __planT0 = System.nanoTime()
     val requeued = Frontier.reactivateTimeouts(live0, now, timeouts, maxTimeout)
     val live = hook(
       if (anyRobots) Frontier.applyRobots(requeued, robotsRules, robotsRespect)
@@ -389,7 +397,8 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     // bounded rounds) so the live frontier is never shuffled for the marking
     val selKeys0 =
       selected.select(col("project"), col("taskid")).withColumn("__sel", lit(true))
-    val selKeys = if (bcastHint) broadcast(selKeys0) else selKeys0
+    val selKeys = if (bcastFetch) broadcast(selKeys0)
+                  else selKeys0.hint("SHUFFLE_HASH")
     val liveMarked = live.join(selKeys, Seq("project", "taskid"), "left_outer")
       .withColumn("status",
         when(col("__sel"), lit(Status.Processing)).otherwise(col("status")))
@@ -397,20 +406,44 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
         when(col("__sel"), Frontier.dynLit(now)).otherwise(col("selected_at")))
       .drop("__sel").as[Task]
 
-    val fetchedRaw = fetcher.fetch(selected, hook(_), bcastHint)
+    val fetchedRaw = fetcher.fetch(selected, hook(_), bcastFetch)
     val fetched = if (saveHtmlProjects.nonEmpty) hook(fetchedRaw) else fetchedRaw
     val processed = hook(process(fetched, now))
 
-    val packs = processed.map(_.status)
-    val follows = applyFollowFilters(processed.flatMap(_.follows))
-    val results = processed.filter(_.result != null).map(_.result)
+    // G1/F7 per-round counters: ONE aggregation over the cached process
+    // output yields every counter including selected (1:1 with processed),
+    // the result count AND the emitted-follows total; this is also the
+    // action that materializes the select→fetch→process caches, and its
+    // measured counts drive the status/merge join strategies below.
+    // Collected rows (one per project) are re-written as a LOCAL relation so
+    // the metrics append is shuffle-free.
+    if (phaseLog) System.err.println(
+      f"      [phase] plan.preFetch    ${(System.nanoTime() - __planT0) / 1e9}%6.2fs")
+    val metricRows = timed("metrics.collect")(processed.toDF()
+      .groupBy(col("status.project").as("project"))
+      .agg(count(lit(1)).as("processed"),
+        sum(when(col("status.processOk"), 1).otherwise(0)).as("ok"),
+        sum(when(col("status.statusCode") === 200, 1).otherwise(0)).as("fetch_200"),
+        sum(when(col("status.statusCode") === 304, 1).otherwise(0)).as("fetch_304"),
+        sum(when(col("status.statusCode") >= 400, 1).otherwise(0)).as("fetch_err"),
+        sum(when(col("result").isNotNull, 1).otherwise(0)).as("results_cnt"),
+        sum(col("status.follows")).as("follows_cnt"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect())
+    // quiet rounds still record a (zero) metrics row — the counter log is
+    // gapless per round, like the reference's 60 s counter dumps
+    val metricRows0 =
+      if (metricRows.nonEmpty) metricRows
+      else Array((headCfg.name, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    val selectedCount = metricRows0.map(_._2).sum
+    val resultRows = metricRows0.map(_._7).sum
+    val followsCount = metricRows0.map(_._8).sum
 
-    // O11-O13: statuses → live'; terminal rows split off to the archive log.
-    // The parent pass is cached (hook) so the two split views share it.
-    val (liveAfterStatus, archiveDelta) =
-      Frontier.applyStatus(liveMarked, packs, now, hook(_),
-        broadcastPacks = bcastHint)
-
+    // COLUMNAR consumption of the cached process output: `.map(_.status)` /
+    // `.flatMap(_.follows)` would deserialize every cached ProcessOut row —
+    // including its array of full nested follow Tasks (~50 KB/row on fanout
+    // 64) — into JVM objects once PER CONSUMER (~10^7 object graphs per big
+    // round; measured as the round's dominant CPU+GC). select/explode stay
+    // in Tungsten and column-prune straight into the cache.
     // O10 cron ticks (@every, scheduler.py:330-358): any tick in
     // ((n-1)*dt, n*dt] divisible by a project's interval re-injects that
     // project's seeds as force_update control candidates
@@ -419,27 +452,61 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
       (lo.toLong / everySec) != (hi.toLong / everySec) ||
         hi.toLong % everySec == 0
     }
-    val cronCands: Dataset[Task] = specs
+    val cronDue = specs
       .filter(s => activeProjects.contains(s.config.name) && // O15
         s.cronEverySec > 0 && seedsFor(s, cfg.seeds).nonEmpty &&
         tickDue(s.cronEverySec))
-      .map(s => seedTasks(s, seedsFor(s, cfg.seeds)))
-      .reduceOption(_ union _).getOrElse(spark.emptyDataset[Task])
 
     // operator control rows for this round (O14 restart-by-status)
-    val controlCands = store.readControl(n)
+    val haveControl = store.hasControl(n)
 
-    // D1-D6 + P7 + O9 + P11: follows into the frontier, checked against the
-    // seen-set (bloom pre-filter + broadcast-semi-join against the archive
-    // log INCLUDING this round's delta — the archive is never shuffled, see
-    // Frontier.mergeIntoLive)
-    val candidates = applyInqueueLimit(
-      Frontier.mergeCandidates(
-        onlyActive(follows.union(cronCands).union(controlCands))), // O15
-      liveAfterStatus)
-    val newLive = hook(Frontier.mergeIntoLive(liveAfterStatus, candidates,
-      store.readArchive(n - 1), archiveDelta, seenBloom, now, n,
-      depthLimit = -1, hook, depthLimits, broadcastCands = bcastHint))
+    // The status/merge legs below are built LAZILY (def): the zero-delta
+    // fast path must not even construct them — analyzing + cache-registering
+    // the big join plans costs driver seconds, and uncaching the resulting
+    // never-materialized entries was measured at 18 s per quiet round.
+    def buildMergeLeg(): (Dataset[Task], Dataset[Task], Dataset[ResultRow]) = {
+      val packs = processed.select(col("status.*")).as[StatusPack]
+      val followsFlat = applyFollowFilters(
+        processed.select(explode(col("follows")).as("__f"))
+          .select(col("__f.*")))
+      val results = processed.filter(col("result").isNotNull)
+        .select(col("result.*")).as[ResultRow]
+
+      // O11-O13: statuses → live'; terminal rows split off to the archive
+      // log. The parent pass is cached (hook) so the split views share it.
+      val (liveAfterStatus, archiveDelta) =
+        Frontier.applyStatus(liveMarked, packs, now, hook(_),
+          broadcastPacks = selectedCount <= cfg.broadcastFetchMax)
+
+      val cronCands: Dataset[Task] = cronDue
+        .map(s => seedTasks(s, seedsFor(s, cfg.seeds)))
+        .reduceOption(_ union _).getOrElse(spark.emptyDataset[Task])
+      val controlCands = store.readControl(n)
+
+      // D1-D6 + P7 + O9 + P11: follows into the frontier, checked against
+      // the seen-set (bloom pre-filter + broadcast-semi-join against the
+      // archive log INCLUDING this round's delta — the archive is never
+      // shuffled, see Frontier.mergeIntoLive). The 10^7-row follow stream
+      // merges FLAT (Frontier.mergeFollows) and is lifted to Tasks
+      // post-collapse; the (driver-known-rare) cron/control Task streams
+      // only force a second, cheap merge pass when actually present — the
+      // two-level merge composes because the D5/D6 semantics are associative.
+      val followsActive =
+        if (!anyInactive) followsFlat
+        else followsFlat.filter(col("project").isin(activeProjects.toSeq: _*))
+      val followTasks = Frontier.mergeFollows(followsActive, now)
+      val candidates0 =
+        if (cronDue.isEmpty && !haveControl) followTasks
+        else Frontier.mergeCandidates(
+          onlyActive(followTasks.union(cronCands).union(controlCands)))
+      val candidates = applyInqueueLimit(candidates0, liveAfterStatus)
+      val newLive = hook(Frontier.mergeIntoLive(liveAfterStatus, candidates,
+        store.readArchive(n - 1), archiveDelta, seenBloom, now, n,
+        depthLimit = -1, hook, depthLimits,
+        // measured gate: the candidate batch is ≤ emitted follows + control
+        broadcastCands = followsCount <= cfg.broadcastFetchMax))
+      (newLive, archiveDelta, results)
+    }
 
     // token carry (O5/O6 closed form) — one pass for both bucket kinds.
     // Host politeness is GLOBAL (one bucket per host across projects,
@@ -452,29 +519,9 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
 
     // ---- commit (manifest written last; see SnapshotStore) ---------------
     // Per-action driver planning is the fixed tax of a round, so counts ride
-    // along the writes as observed metrics instead of separate count() jobs.
-
-    // G1/F7 per-round counters: ONE aggregation over the cached process
-    // output yields every counter including selected (1:1 with processed)
-    // and the result count; this is also the action that materializes the
-    // select→fetch→process caches. Collected rows (one per project) are
-    // re-written as a LOCAL relation so the metrics append is shuffle-free.
-    val metricRows = timed("metrics.collect")(processed.toDF()
-      .groupBy(col("status.project").as("project"))
-      .agg(count(lit(1)).as("processed"),
-        sum(when(col("status.processOk"), 1).otherwise(0)).as("ok"),
-        sum(when(col("status.statusCode") === 200, 1).otherwise(0)).as("fetch_200"),
-        sum(when(col("status.statusCode") === 304, 1).otherwise(0)).as("fetch_304"),
-        sum(when(col("status.statusCode") >= 400, 1).otherwise(0)).as("fetch_err"),
-        sum(when(col("result").isNotNull, 1).otherwise(0)).as("results_cnt"))
-      .as[(String, Long, Long, Long, Long, Long, Long)].collect())
-    // quiet rounds still record a (zero) metrics row — the counter log is
-    // gapless per round, like the reference's 60 s counter dumps
-    val metricRows0 =
-      if (metricRows.nonEmpty) metricRows
-      else Array((headCfg.name, 0L, 0L, 0L, 0L, 0L, 0L))
-    val selectedCount = metricRows0.map(_._2).sum
-    val resultRows = metricRows0.map(_._7).sum
+    // along the writes as observed metrics instead of separate count() jobs
+    // (the per-project counters were already collected above, before the
+    // status/merge planning they parameterize).
 
     // The commit writes are independent — submit them CONCURRENTLY so their
     // driver planning + job latencies overlap (the serial driver time
@@ -482,31 +529,62 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val liveObs = new org.apache.spark.sql.Observation(s"live_$n")
-    val archObs = new org.apache.spark.sql.Observation(s"arch_$n")
-    val fLive = Future(timed("writeLive")(store.writeLive(n,
-      newLive.observe(liveObs, count(lit(1)).as("rows")))))
-    val fArch = Future(timed("writeArchive")(store.appendArchive(n,
-      archiveDelta.observe(archObs, count(lit(1)).as("rows")))))
-    val fRes = Future(timed("writeResults")(store.appendResults(n,
-      if (resultRows < 100_000) results.toDF().coalesce(1) else results.toDF())))
-    val fTok = Future(timed("writeTokens")(
-      store.writeTokensUnified(n, tokensUnified.coalesce(1))))
-    // S8 raw-HTML sink for projects with save_html on
-    val fHtml =
-      if (saveHtmlProjects.isEmpty) Nil
-      else {
-        val keep = saveHtmlProjects
-        Seq(Future(timed("writeHtml")(store.appendHtml(n, fetched
-          .filter(x => keep.contains(x._1.project) && x._2.statusCode == 200)
-          .map { case (t, p) =>
-            (t.taskid, t.project, t.url, p.url, p.statusCode, p.contentHash, p.html) }
-          .toDF("taskid", "project", "url", "response_url", "status_code",
-            "content_hash", "html")))))
+
+    // ZERO-DELTA FAST PATH: when nothing was selected, no candidate exists
+    // (no follows/cron/control) and the previous snapshot holds no
+    // PROCESSING row (manifest-known — requeue provably no-op; robots
+    // marking is idempotent on an already-marked snapshot), the new live
+    // set IS the previous one: reference it instead of rewriting 10^a rows,
+    // and skip the empty archive/result/html writes entirely. A cron-idle
+    // production crawl ticks through such rounds constantly; this turns
+    // their cost from a full snapshot cycle into tokens+metrics+commit.
+    if (phaseLog) System.err.println(
+      f"      [phase] plan.postFetch   ${(System.nanoTime() - __planT0) / 1e9}%6.2fs (cumulative)")
+    val quietFast = timed("fastpath.check")(
+      selectedCount == 0 && followsCount == 0 &&
+        cronDue.isEmpty && !haveControl &&
+        store.processingRowsOf(n - 1) == 0L)
+    var processingRows = 0L
+    var archiveDeltaOpt: Option[Dataset[Task]] = None
+    val (liveRows, archRows) =
+      if (quietFast) {
+        store.writeLiveRef(n, n - 1)
+        Await.result(Future(timed("writeTokens")(
+          store.writeTokensUnified(n, tokensUnified.coalesce(1)))), Duration.Inf)
+        (store.liveRowsOf(n - 1).getOrElse(0L), 0L)
+      } else {
+        val (newLive, archiveDelta, results) = buildMergeLeg()
+        archiveDeltaOpt = Some(archiveDelta)
+        val liveObs = new org.apache.spark.sql.Observation(s"live_$n")
+        val archObs = new org.apache.spark.sql.Observation(s"arch_$n")
+        val fLive = Future(timed("writeLive")(store.writeLive(n,
+          newLive.observe(liveObs, count(lit(1)).as("rows"),
+            sum(when(col("status") === Status.Processing, 1L).otherwise(0L))
+              .as("processing")))))
+        val fArch = Future(timed("writeArchive")(store.appendArchive(n,
+          archiveDelta.observe(archObs, count(lit(1)).as("rows")))))
+        val fRes = Future(timed("writeResults")(store.appendResults(n,
+          if (resultRows < 100_000) results.toDF().coalesce(1) else results.toDF())))
+        val fTok = Future(timed("writeTokens")(
+          store.writeTokensUnified(n, tokensUnified.coalesce(1))))
+        // S8 raw-HTML sink for projects with save_html on
+        val fHtml =
+          if (saveHtmlProjects.isEmpty) Nil
+          else {
+            val keep = saveHtmlProjects
+            Seq(Future(timed("writeHtml")(store.appendHtml(n, fetched
+              .filter(x => keep.contains(x._1.project) && x._2.statusCode == 200)
+              .map { case (t, p) =>
+                (t.taskid, t.project, t.url, p.url, p.statusCode, p.contentHash, p.html) }
+              .toDF("taskid", "project", "url", "response_url", "status_code",
+                "content_hash", "html")))))
+          }
+        Await.result(Future.sequence(Seq(fLive, fArch, fRes, fTok) ++ fHtml), Duration.Inf)
+        processingRows = Option(liveObs.get("processing"))
+          .collect { case l: Long => l }.getOrElse(0L)
+        (liveObs.get("rows").asInstanceOf[Long],
+          archObs.get("rows").asInstanceOf[Long])
       }
-    Await.result(Future.sequence(Seq(fLive, fArch, fRes, fTok) ++ fHtml), Duration.Inf)
-    val liveRows = liveObs.get("rows").asInstanceOf[Long]
-    val archRows = archObs.get("rows").asInstanceOf[Long]
 
     val metrics = spark.createDataset(metricRows0.map(r =>
         (r._1, r._2, r._3, r._4, r._5, r._6)).toSeq)
@@ -520,21 +598,22 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
 
     // fold this round's archived keys into the seen-bloom (incremental);
     // same-round rediscovery is already exact via mergeIntoLive's delta check
-    seenBloom.foreach { bf =>
-      if (archRows > 0)
+    timed("bloom.merge")(seenBloom.foreach { bf =>
+      if (archRows > 0) archiveDeltaOpt.foreach { delta =>
         // coalesce first: bloomFilter aggregates ~5 MB bitmap partials PER
         // PARTITION to the driver — 32 partials is a 150 MB RPC burst per
         // round on a real cluster, 4 is plenty for a round-bounded delta
-        bf.mergeInPlace(archiveDelta.toDF().coalesce(4).stat
+        bf.mergeInPlace(delta.toDF().coalesce(4).stat
           .bloomFilter("taskid", cfg.bloomExpected, 0.01))
-    }
+      }
+    })
 
     store.commit(n, now, liveRows, archRows, archiveTotal + archRows, resultRows,
       selectedCount,
-      Seq("live" -> liveRows, "archive_delta" -> archRows, "results" -> resultRows))
+      Seq("live" -> liveRows, "archive_delta" -> archRows, "results" -> resultRows),
+      processingRows = processingRows)
 
-    cached.foreach(_.unpersist())
-    spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    timed("unpersist")(cached.foreach(_.unpersist()))
 
     // periodic archive compaction — amortized O(1)-ish round cost over long
     // crawls (the compact snapshot replaces the per-round dir union)

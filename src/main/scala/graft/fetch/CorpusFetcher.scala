@@ -73,6 +73,31 @@ case class SlimTask(taskid: String, project: String, url: String,
 class CorpusFetcher(corpus: Dataset[Page], maxRedirects: Int = 5)
   extends FetchService {
 
+  /** The fetcher's working view of the corpus: reduced to ONE page per url
+    * (latest warc_ts, content-hash tie-break) ONCE at init — a Common-Crawl
+    * corpus may hold several snapshots per url, and deduping per ROUND
+    * shuffled the round's hits WITH their html bytes (GBs) every round —
+    * then hash-partitioned by `url` and cached, so the shuffle-path fetch
+    * join reuses this partitioning (zero corpus exchange, no sort; the
+    * Iceberg-bucketing analog at cluster scale). The uniqueness probe is one
+    * cheap aggregate; already-unique corpora skip the dedup entirely. */
+  @transient lazy val view: Dataset[Page] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val hasDups = !corpus.groupBy("url").count()
+      .filter(col("count") > 1).isEmpty
+    val unique =
+      if (!hasDups) corpus
+      else corpus.toDF()
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("url")
+            .orderBy(col("warc_ts").desc, md5(base64(col("html"))).desc)))
+        .filter(col("__rn") === 1).drop("__rn").as[Page]
+    unique.repartition(nPart, col("url"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** (src → final dst, hops, tooMany) over the corpus's redirect stubs,
     * resolved once and cached. None when the corpus has no stubs (common
     * case — zero per-round overhead). The stub subset is tiny relative to
@@ -80,7 +105,7 @@ class CorpusFetcher(corpus: Dataset[Page], maxRedirects: Int = 5)
   @transient private lazy val redirectMap: Option[DataFrame] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val hops = corpus.flatMap { p =>
+    val hops = view.flatMap { p =>
       val head = new String(p.html, 0, math.min(400, p.html.length), "ISO-8859-1")
       graft.process.HtmlLite.redirectTarget(head).map { t =>
         // F4: a redirect hop's Set-Cookie joins the chain's jar (stub pages
@@ -121,8 +146,9 @@ class CorpusFetcher(corpus: Dataset[Page], maxRedirects: Int = 5)
     }
   }
 
-  /** Force redirect-map resolution outside any timed section. */
-  def warm(): Unit = redirectMap
+  /** Force the corpus view + redirect-map resolution outside any timed
+    * section (both are one-time costs amortized over the crawl). */
+  def warm(): Unit = { view.count(); redirectMap }
 
   override def fetch(selected: Dataset[Task], hook: FetchService.Hook = identity _,
                      broadcastHint: Boolean = true)
@@ -187,26 +213,21 @@ class CorpusFetcher(corpus: Dataset[Page], maxRedirects: Int = 5)
 
     // JOIN SHAPE: an outer join preserving `selected` can only broadcast the
     // corpus (illegal at 10^10 rows), so split it:
-    //   1. INNER join, selected batch as build side — the corpus is probed
-    //      MAP-SIDE, COLUMNAR (plain DF join: no Page deserialization for
-    //      non-matching rows), never shuffled when broadcastHint holds;
+    //   1. INNER join against the url-unique `view`, selected batch as build
+    //      side — broadcast when the caller's politeness bound holds (the
+    //      corpus is probed MAP-SIDE, COLUMNAR, never shuffled); in
+    //      BFS-explosion rounds the batch gets a SHUFFLE_HASH hint instead:
+    //      the tiny batch shuffles to the view's url-partitioning (exchange
+    //      reuse — the cached view never moves), NO driver-side collect of a
+    //      10^6-row batch, no sort;
     //   2. misses = selected ANTI-JOIN hit keys (both sides round-bounded)
     //      → normalized 599 rows (F6, tornado_fetcher.py:210-224).
-    val build = if (broadcastHint) broadcast(selDF) else selDF
-    // A Common-Crawl-style corpus may hold SEVERAL snapshots per url — keep
-    // exactly ONE page per task (latest warc_ts, content-hash tie-break) so
-    // the join never fans out and downstream joins keep the
-    // one-row-per-(project,taskid) invariant. The window runs over the
-    // round-bounded hit set, never the corpus.
-    val matched = corpus.toDF()
+    val build = if (broadcastHint) broadcast(selDF)
+                else selDF.hint("SHUFFLE_HASH")
+    val matched = view.toDF()
       .join(build, col("url") === col("__sel_url"), "inner")
       .select(col("_1"), col("warc_ts").as("_2"), col("html").as("_3"),
         col("__sel_url").as("_4"), col("__chainck").as("_5"))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("_1.project"), col("_1.taskid"))
-          .orderBy(col("_2").desc, md5(base64(col("_3"))).desc)))
-      .filter(col("__rn") === 1).drop("__rn")
       .as[(SlimTask, java.sql.Timestamp, Array[Byte], String, String)]
     val hits = matched.map { case (s, ts, html, effUrl, chainCk) =>
       val t = s.toTask
@@ -231,10 +252,12 @@ class CorpusFetcher(corpus: Dataset[Page], maxRedirects: Int = 5)
       }
     }
     val resolved = hook(hits.union(isData).union(tooMany))
-    val hitKeys = resolved
+    val hitKeys0 = resolved
       .select(col("_1.project").as("project"), col("_1.taskid").as("taskid"))
+    val hitKeys = if (broadcastHint) broadcast(hitKeys0)
+                  else hitKeys0.hint("SHUFFLE_HASH")
     val misses = slim
-      .join(broadcast(hitKeys), Seq("project", "taskid"), "left_anti")
+      .join(hitKeys, Seq("project", "taskid"), "left_anti")
       .select(slimCols: _*).as[SlimTask]
       .map { s =>
         val t = s.toTask

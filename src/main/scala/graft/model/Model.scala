@@ -85,6 +85,29 @@ case class Task(
     selected_at: Double = 0.0,
     seq: Long = 0L)
 
+/** Flat narrow follow row — the 10^7-rows-per-round BFS path (one per
+  * extracted link). Carries only what candidate admission reads (D1-D6 merge
+  * fields, P7 filter fields, P11 depth); lifted to a full nested Task (all
+  * other fields are defaults for a fresh follow) only AFTER the per-key
+  * merge collapses the batch. Encoding/shuffling full 40-field Tasks per
+  * link was measured as the dominant cost of a BFS round. */
+case class FollowLite(
+    taskid: String,
+    project: String,
+    url: String,
+    host: String,
+    depth: Int,
+    priority: Int,
+    exetime: Double,
+    age: Long,
+    itag: String,
+    force_update: Boolean,
+    auto_recrawl: Boolean,
+    save: String,
+    callback: String,
+    fetch_type: String,
+    cookies: String)
+
 /** Result row (reference database/base/resultdb.py:8-17). */
 case class ResultRow(
     taskid: String,

@@ -123,26 +123,41 @@ object Handlers {
 
   /** The crawl-API row constructor (reference base_handler.py:259-361 P10):
     * canonicalize, derive taskid/host, inherit project + depth+1, depth
-    * guard applied later (P11). */
-  def mkTask(parent: Task, f: FollowSpec, now: Double, project: String): Task = {
+    * guard applied later (P11). Emits the flat narrow FollowLite — the full
+    * Task is built columnar AFTER the candidate merge (Frontier.liftFollows);
+    * per-link nested-Task encoding was the dominant cost of a BFS round. */
+  def mkFollow(parent: Task, f: FollowSpec, now: Double, project: String): FollowLite = {
     val canon = UrlCanon.canonicalize(f.url)
-    Task(
+    FollowLite(
       taskid = UrlCanon.taskId(canon),
       project = project,
       url = canon,
-      status = Status.Active,
       host = UrlCanon.mainDomain(canon),
       depth = if (parent == null) 0 else parent.depth + 1,
-      schedule = Schedule(
-        priority = f.priority,
-        exetime = if (f.exetimeDelay > 0) now + f.exetimeDelay else 0.0,
-        age = f.age,
-        itag = f.itag,
-        force_update = f.forceUpdate,
-        auto_recrawl = f.autoRecrawl),
-      fetch = FetchOpts(save = f.save, fetch_type = f.fetchType,
-        cookies = f.cookies),
-      process = ProcessOpts(callback = f.callback),
+      priority = f.priority,
+      exetime = if (f.exetimeDelay > 0) now + f.exetimeDelay else 0.0,
+      age = f.age,
+      itag = f.itag,
+      force_update = f.forceUpdate,
+      auto_recrawl = f.autoRecrawl,
+      save = f.save,
+      callback = f.callback,
+      fetch_type = f.fetchType,
+      cookies = f.cookies)
+  }
+
+  /** Full-Task twin of mkFollow (control paths that stay Task-typed). */
+  def mkTask(parent: Task, f: FollowSpec, now: Double, project: String): Task = {
+    val l = mkFollow(parent, f, now, project)
+    Task(
+      taskid = l.taskid, project = l.project, url = l.url,
+      status = Status.Active, host = l.host, depth = l.depth,
+      schedule = Schedule(priority = l.priority, exetime = l.exetime,
+        age = l.age, itag = l.itag, force_update = l.force_update,
+        auto_recrawl = l.auto_recrawl),
+      fetch = FetchOpts(save = l.save, fetch_type = l.fetch_type,
+        cookies = l.cookies),
+      process = ProcessOpts(callback = l.callback),
       updatetime = now)
   }
 }

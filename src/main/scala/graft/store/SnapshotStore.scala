@@ -50,8 +50,25 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
   def writeLive(n: Long, live: Dataset[Task]): Unit =
     live.write.mode(SaveMode.Overwrite).parquet(s"${roundDir(n)}/live")
 
-  def readLive(n: Long): Dataset[Task] =
-    spark.read.parquet(s"${roundDir(n)}/live").as[Task]
+  /** Zero-delta round: round `n`'s live frontier IS round `ref`'s — record a
+    * reference marker instead of rewriting the whole snapshot (Iceberg's
+    * unchanged-snapshot analog). readLive follows the chain. */
+  def writeLiveRef(n: Long, ref: Long): Unit = {
+    val out = fs.create(new Path(s"${roundDir(n)}/live_ref"), true)
+    out.write(ref.toString.getBytes("UTF-8")); out.close()
+  }
+
+  def readLive(n: Long): Dataset[Task] = {
+    val dir = new Path(s"${roundDir(n)}/live")
+    if (fs.exists(dir)) spark.read.parquet(dir.toString).as[Task]
+    else {
+      val refP = new Path(s"${roundDir(n)}/live_ref")
+      val in = fs.open(refP)
+      val bytes = new Array[Byte](fs.getFileStatus(refP).getLen.toInt)
+      in.readFully(bytes); in.close()
+      readLive(new String(bytes, "UTF-8").trim.toLong)
+    }
+  }
 
   /** Both bucket tables in ONE write (a `kind` discriminator column) —
     * halves the per-round commit jobs. */
@@ -139,6 +156,9 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
   def writeControl(n: Long, tasks: Dataset[Task]): Unit =
     tasks.write.mode(SaveMode.Overwrite).parquet(s"$root/control/round=$n")
 
+  def hasControl(n: Long): Boolean =
+    fs.exists(new Path(s"$root/control/round=$n"))
+
   def readControl(n: Long): Dataset[Task] = {
     val d = s"$root/control/round=$n"
     if (fs.exists(new Path(d))) spark.read.parquet(d).as[Task]
@@ -200,11 +220,13 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     val out = fs.create(tombstone(project), true)
     out.write("deleted".getBytes("UTF-8")); out.close()
     // live: materialize the filtered set NEXT TO the old dir, then swap
+    // (readLive resolves a live_ref chain; the purge writes a REAL dir)
     val liveDir = new Path(s"${roundDir(n)}/live")
     val tmpDir = new Path(s"${roundDir(n)}/live__purge")
     readLive(n).filter(t => t.project != project)
       .write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
     fs.delete(liveDir, true)
+    fs.delete(new Path(s"${roundDir(n)}/live_ref"), false)
     fs.rename(tmpDir, liveDir)
     // archive: fold to a compaction that excludes the project (also removes
     // the per-round delta dirs from the read path)
@@ -240,15 +262,19 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     else dropDeleted(spark.read.parquet(dirs: _*))
   }
 
-  /** Commit marker with per-partition lineage counts (north rule). */
+  /** Commit marker with per-partition lineage counts (north rule).
+    * `processingRows` powers the zero-delta fast path: a quiet round can
+    * only reference the previous snapshot when no PROCESSING row could be
+    * timeout-requeued. */
   def commit(n: Long, now: Double, liveRows: Long, archiveDeltaRows: Long,
              archiveTotalRows: Long, resultRows: Long, selected: Long,
-             partCounts: Seq[(String, Long)]): Unit = {
+             partCounts: Seq[(String, Long)], processingRows: Long = 0L): Unit = {
     val parts = partCounts.map { case (k, v) => s"""{"part":"$k","rows":$v}""" }
       .mkString("[", ",", "]")
     val json =
       s"""{"round":$n,"now":$now,"live_rows":$liveRows,"archive_delta":$archiveDeltaRows,
          |"archive_total":$archiveTotalRows,"results":$resultRows,"selected":$selected,
+         |"processing_rows":$processingRows,
          |"partitions":$parts}""".stripMargin.replace("\n", "")
     val tmp = new Path(s"${roundDir(n)}/_MANIFEST.json.tmp")
     val out = fs.create(tmp, true)
@@ -277,6 +303,13 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     readManifest(n).flatMap { s =>
       """"live_rows":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
     }
+
+  /** PROCESSING-status rows committed at round n (absent in old manifests →
+    * conservative MaxValue: the fast path stays off). */
+  def processingRowsOf(n: Long): Long =
+    readManifest(n).flatMap { s =>
+      """"processing_rows":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+    }.getOrElse(Long.MaxValue)
 
   /** Drop everything after round n (used by resume after a torn run, and by
     * the kill/resume test). */

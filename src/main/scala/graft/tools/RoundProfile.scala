@@ -20,27 +20,44 @@ object RoundProfile {
     // ≥20 rounds with archive compaction
     val hostBudget = if (args.length > 4) args(4).toDouble else 0.0
     val maxRounds = if (args.length > 5) args(5).toInt else 25
-    // GRAFT_MASTER=spark://host:port profiles against an external standalone
-    // cluster (the bench protocol's execution model) instead of local[N]
-    val b = SparkSession.builder()
-      .master(sys.env.getOrElse("GRAFT_MASTER", s"local[$cores]"))
+    def tune(b: SparkSession.Builder): SparkSession.Builder = b
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("GRAFT_PARTITIONS", cores.toString))
+        sys.env.getOrElse("GRAFT_PARTITIONS", "32"))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_AQE", "true"))
+      .config("spark.buffer.pageSize", sys.env.getOrElse("GRAFT_PAGESZ", "2m"))
       .config("spark.ui.enabled", "false")
+    // GRAFT_WORKERS=N spawns a real N×4-core multi-JVM standalone cluster
+    // (the bench protocol's execution model); GRAFT_MASTER=spark://...
+    // attaches to an external one; default local[cores]
+    sys.env.get("GRAFT_WORKERS") match {
+      case Some(w) =>
+        ClusterHarness.withCluster(w.toInt, coresPerWorker = 4,
+          executorMemGb = sys.env.getOrElse("GRAFT_EXEC_MEM_GB", "10").toInt,
+          appName = s"graft-profile-${w}x4", tune) { spark =>
+          run(spark, cores, nPages, branch, nHosts, hostBudget, maxRounds)
+        }
+        return
+      case None =>
+    }
+    val b = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", s"local[$cores]"))
     sys.env.get("GRAFT_MASTER").foreach { _ =>
       b.config("spark.executor.cores", "4")
         .config("spark.executor.memory",
           sys.env.getOrElse("GRAFT_EXEC_MEM", "10g"))
-      // system-classpath, NOT spark.jars: typed-API lambdas deserialized via
-      // the url-classloader hit SerializedLambda ClassCastExceptions
-      sys.env.get("GRAFT_JAR").foreach(j =>
-        b.config("spark.executor.extraClassPath", j))
+        .config("spark.executor.extraClassPath", ClusterHarness.classesJar)
     }
-    val spark = b.getOrCreate()
+    val spark = tune(b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, cores, nPages, branch, nHosts, hostBudget, maxRounds)
+  }
+
+  private def run(spark: SparkSession, cores: Int, nPages: Long, branch: Int,
+                  nHosts: Int, hostBudget: Double, maxRounds: Int): Unit = {
     implicit val s: SparkSession = spark
+    val totalCores = sys.env.get("GRAFT_WORKERS")
+      .map(_.toInt * 4).getOrElse(cores)
 
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val stages = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -73,9 +90,7 @@ object RoundProfile {
     })
 
     val t00 = System.nanoTime()
-    val corpus = CorpusGen.generate(spark, nPages, nHosts, 42L, branch).cache()
-    corpus.count()
-    println(f"corpus generated+cached in ${(System.nanoTime() - t00) / 1e9}%.1fs")
+    val corpus = CorpusGen.generate(spark, nPages, nHosts, 42L, branch)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_profile").toString
     val hr = if (hostBudget > 0) hostBudget / 30.0 else 1e9
     val hb = if (hostBudget > 0) hostBudget else 1e9
@@ -83,6 +98,12 @@ object RoundProfile {
       project = ProjectConfig("prof", rate = 1e9, burst = 1e9,
         hostRate = hr, hostBurst = hb, loopLimit = Int.MaxValue / 2, depthLimit = -1),
       seedCallback = "bfs_page", roundDt = 30.0, checkpointDir = ckpt))
+    engine.robotsRules.count()
+    engine.fetcher match {
+      case c: graft.fetch.CorpusFetcher => c.warm()
+      case _ =>
+    }
+    println(f"corpus generated+warmed in ${(System.nanoTime() - t00) / 1e9}%.1fs")
     var n = engine.initOrResume(CorpusGen.seeds(nHosts))
     var done = false
     while (!done && n < maxRounds) {
@@ -90,9 +111,13 @@ object RoundProfile {
       val (j0, s0, t0, w0) = (jobs.get, stages.get, taskTime.get, System.nanoTime())
       val st = engine.runRound(n)
       val wall = (System.nanoTime() - w0) / 1e9
+      val busyMs = taskTime.get - t0
+      // executor utilization: busy task-time over the round's core-seconds —
+      // LOW (<30%) means the round is driver-latency-bound, not work-bound
+      val util = busyMs / 1000.0 / (wall * totalCores) * 100
       println(f"round $n%2d selected=${st.selected}%7d wall=$wall%6.2fs " +
         f"jobs=${jobs.get - j0}%3d stages=${stages.get - s0}%3d " +
-        f"taskTimeMs=${taskTime.get - t0}%7d")
+        f"taskTimeMs=$busyMs%7d util=$util%5.1f%%")
       import scala.jdk.CollectionConverters._
       val byDur = jobDur.asScala.toSeq.sortBy(-_._2)
       byDur.take(8).foreach { case (site, ms) => println(f"    $ms%6dms $site") }
