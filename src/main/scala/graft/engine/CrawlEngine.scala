@@ -50,7 +50,14 @@ case class EngineConfig(
     // fold the archive log to latest-per-key every K rounds so readArchive
     // stops unioning every round dir (round cost stays flat over a long
     // crawl); 0 disables
-    compactEvery: Int = 16) {
+    compactEvery: Int = 16,
+    // bucketed copy-on-write live snapshots (Iceberg-manifest analog): the
+    // frontier is hash-bucketed by taskid and a round rewrites ONLY the
+    // buckets its selected/candidate keys touch — O(changed), not O(|live|),
+    // per round at 10^10-frontier scale. 0 = plain whole-snapshot writes.
+    liveBuckets: Int = 32,
+    // below this live size a whole rewrite is cheaper than COW bookkeeping
+    cowMinLive: Long = 100_000L) {
   def allProjects: Seq[ProjectSpec] =
     if (projects.nonEmpty) projects
     else Seq(ProjectSpec(project, seeds, seedCallback, cronEverySec))
@@ -202,10 +209,14 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
         n
       case None =>
         val live = allSeedTasks(seeds)
-        store.writeLive(0, live)
+        val liveRows =
+          if (cfg.liveBuckets > 0)
+            store.writeLiveBucketed(0, live.toDF()
+                .withColumn("__bucket", store.bucketCol(cfg.liveBuckets)),
+              None, cfg.liveBuckets)
+          else { store.writeLive(0, live); store.readLive(0).count() }
         store.writeTokensUnified(0,
           Seq.empty[(String, String, Double)].toDF("kind", "key", "tokens"))
-        val liveRows = store.readLive(0).count()
         store.commit(0, 0.0, liveRows, 0, 0, 0, 0, Seq("live" -> liveRows))
         0L
     }
@@ -464,7 +475,7 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     // fast path must not even construct them — analyzing + cache-registering
     // the big join plans costs driver seconds, and uncaching the resulting
     // never-materialized entries was measured at 18 s per quiet round.
-    def buildMergeLeg(): (Dataset[Task], Dataset[Task], Dataset[ResultRow]) = {
+    def buildMergeLeg(): (Dataset[Task], Dataset[Task], Dataset[ResultRow], Option[Set[Int]]) = {
       val packs = processed.select(col("status.*")).as[StatusPack]
       val followsFlat = applyFollowFilters(
         processed.select(explode(col("follows")).as("__f"))
@@ -505,7 +516,26 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
         depthLimit = -1, hook, depthLimits,
         // measured gate: the candidate batch is ≤ emitted follows + control
         broadcastCands = followsCount <= cfg.broadcastFetchMax))
-      (newLive, archiveDelta, results)
+
+      // COW bucket set: only buckets holding a selected or candidate key can
+      // change this round (timeout requeue excluded by the processing-rows
+      // precondition; robots marking recomputes in flight each round, so a
+      // stale stored status in an untouched bucket cannot affect selection).
+      // Superset is safe; too many changed buckets → whole rewrite.
+      val B = cfg.liveBuckets
+      val changedBuckets: Option[Set[Int]] =
+        if (B <= 0 || store.processingRowsOf(n - 1) != 0L ||
+            store.readLiveManifest(n - 1).isEmpty ||
+            store.liveRowsOf(n - 1).forall(_ < cfg.cowMinLive)) None
+        else {
+          val bc = store.bucketCol(B)
+          val bks = timed("cow.buckets")(
+            selected.toDF().select(bc.as("b"))
+              .union(candidates.toDF().select(bc.as("b")))
+              .distinct().collect().map(_.getInt(0)).toSet)
+          if (bks.size * 2 >= B) None else Some(bks)
+        }
+      (newLive, archiveDelta, results, changedBuckets)
     }
 
     // token carry (O5/O6 closed form) — one pass for both bucket kinds.
@@ -548,19 +578,37 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     var archiveDeltaOpt: Option[Dataset[Task]] = None
     val (liveRows, archRows) =
       if (quietFast) {
-        store.writeLiveRef(n, n - 1)
+        if (!store.carryLiveManifest(n)) store.writeLiveRef(n, n - 1)
         Await.result(Future(timed("writeTokens")(
           store.writeTokensUnified(n, tokensUnified.coalesce(1)))), Duration.Inf)
         (store.liveRowsOf(n - 1).getOrElse(0L), 0L)
       } else {
-        val (newLive, archiveDelta, results) = buildMergeLeg()
+        val (newLive, archiveDelta, results, changedBuckets) = buildMergeLeg()
         archiveDeltaOpt = Some(archiveDelta)
         val liveObs = new org.apache.spark.sql.Observation(s"live_$n")
         val archObs = new org.apache.spark.sql.Observation(s"arch_$n")
-        val fLive = Future(timed("writeLive")(store.writeLive(n,
-          newLive.observe(liveObs, count(lit(1)).as("rows"),
-            sum(when(col("status") === Status.Processing, 1L).otherwise(0L))
-              .as("processing")))))
+        // bucketed COW write: observation sits ABOVE the bucket filter, so
+        // its counts cover exactly the rows written; processing-row count is
+        // still complete (precondition: no PROCESSING rows elsewhere) and
+        // the total live count comes from the manifest (footer-exact)
+        var cowTotal = 0L
+        val fLive = Future(timed("writeLive")(
+          if (cfg.liveBuckets > 0) {
+            val withB = newLive.toDF()
+              .withColumn("__bucket", store.bucketCol(cfg.liveBuckets))
+            val toWrite = changedBuckets match {
+              case Some(chg) => withB.filter(col("__bucket").isin(chg.toSeq: _*))
+              case None => withB
+            }
+            cowTotal = store.writeLiveBucketed(n,
+              toWrite.observe(liveObs, count(lit(1)).as("rows"),
+                sum(when(col("status") === Status.Processing, 1L).otherwise(0L))
+                  .as("processing")),
+              changedBuckets, cfg.liveBuckets)
+          } else store.writeLive(n,
+            newLive.observe(liveObs, count(lit(1)).as("rows"),
+              sum(when(col("status") === Status.Processing, 1L).otherwise(0L))
+                .as("processing")))))
         val fArch = Future(timed("writeArchive")(store.appendArchive(n,
           archiveDelta.observe(archObs, count(lit(1)).as("rows")))))
         val fRes = Future(timed("writeResults")(store.appendResults(n,
@@ -582,8 +630,10 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
         Await.result(Future.sequence(Seq(fLive, fArch, fRes, fTok) ++ fHtml), Duration.Inf)
         processingRows = Option(liveObs.get("processing"))
           .collect { case l: Long => l }.getOrElse(0L)
-        (liveObs.get("rows").asInstanceOf[Long],
-          archObs.get("rows").asInstanceOf[Long])
+        val totalLive =
+          if (cfg.liveBuckets > 0) cowTotal
+          else liveObs.get("rows").asInstanceOf[Long]
+        (totalLive, archObs.get("rows").asInstanceOf[Long])
       }
 
     val metrics = spark.createDataset(metricRows0.map(r =>

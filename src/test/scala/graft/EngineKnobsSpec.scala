@@ -442,6 +442,38 @@ class EngineKnobsSpec extends AnyFunSuite {
       "js render did not surface the script DOM link")
   }
 
+  test("bucketed COW live snapshots: changed-bucket rounds preserve the frontier exactly") {
+    // a deep chain: each round crawls one url, so COW rounds rewrite only
+    // the buckets holding that round's selected/candidate keys
+    val urls = (0 to 11).map(i => s"http://a.example/p/$i")
+    val pages = urls.zipWithIndex.map { case (u, i) =>
+      page(u, if (i < 11) Seq(urls(i + 1)) else Nil, s"t$i")
+    } :+ robots("a.example")
+    def run(buckets: Int): CrawlEngine = {
+      val ckpt = Files.createTempDirectory("graft_cow").toString
+      val eng = new CrawlEngine(spark.createDataset(pages),
+        engine.EngineConfig(
+          projects = Seq(ProjectSpec(unbounded("cow"), seeds = Seq(urls.head))),
+          checkpointDir = ckpt, liveBuckets = buckets, cowMinLive = 1L))
+      eng.crawl(Nil, maxRounds = 16)
+      eng
+    }
+    val cow = run(8); val plain = run(0)
+    def state(e: CrawlEngine) = {
+      val n = e.store.lastCommitted().get
+      (frontier.SeenSet.latest(e.store.readArchive(n)).collect()
+         .map(t => (t.taskid, t.status, t.url, t.depth)).sortBy(_._1).toSeq,
+       e.store.readLive(n).collect().map(_.taskid).sorted.toSeq)
+    }
+    assert(state(cow) === state(plain))
+    // COW actually engaged: some committed manifest inherits buckets from an
+    // EARLIER round (i.e. a round wrote a proper subset of buckets)
+    val partial = cow.store.committedRounds().exists { r =>
+      cow.store.readLiveManifest(r).exists(_.values.map(_._1).toSet.size > 1)
+    }
+    assert(partial, "no round inherited buckets from an earlier manifest")
+  }
+
   test("F5 deterministic UA pick is stable and spread") {
     import graft.functions.UaPool
     val urls = (0 until 64).map(i => s"http://site$i.example/p/$i")
