@@ -56,6 +56,20 @@ object ProjectIni {
   private def commaList(v: String): Seq[String] =
     v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** `xpath = {"url_regex": {"field": "//xpath", ...}, ...}` — the
+    * reference's JSON value verbatim (read_project_config.py:146-150). */
+  private def parseXpathJson(s: String): Map[String, Map[String, String]] = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(s) match {
+      case JObject(pats) => pats.map {
+        case (p, JObject(fs)) =>
+          p -> fs.collect { case (f, JString(x)) => f -> x }.toMap
+        case (p, _) => p -> Map.empty[String, String]
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
   def specOf(name: String, kv: Map[String, String]): ProjectSpec = {
     def d(k: String, default: Double) = kv.get(k).map(_.toDouble).getOrElse(default)
     def i(k: String, default: Int) = kv.get(k).map(_.toInt).getOrElse(default)
@@ -64,6 +78,18 @@ object ProjectIni {
     val deny = kv.get("list_url_black_pattern")
       .map(v => commaList(v).map(p => s"(?:$p)").mkString("|"))
       .filter(_.nonEmpty).orNull
+    // P8 — config-driven xpath extraction: an `xpath` JSON value compiles to
+    // an XpathSpider registered under `callback` (default "xpath_page")
+    val xpathMap = kv.get("xpath").map(parseXpathJson).getOrElse(Map.empty)
+    val xpathCb =
+      if (xpathMap.isEmpty) None
+      else Some(kv.getOrElse("callback", "xpath_page"))
+    val callbacks: Map[String, graft.process.Handler] = xpathCb match {
+      case Some(cb) => Map(cb -> new graft.process.XpathSpider(cb, xpathMap,
+        kv.get("base_url_pattern").map(commaList).getOrElse(Nil),
+        follow = b("follow", default = true)))
+      case None => Map.empty
+    }
     ProjectSpec(
       config = ProjectConfig(
         name = name,
@@ -76,8 +102,9 @@ object ProjectIni {
         inqueueLimit = i("inqueue_limit", 0),
         respectRobots = b("respect_robots", default = true)),
       seeds = kv.get("seeds").map(commaList).getOrElse(Nil),
-      seedCallback = kv.getOrElse("callback", "bfs_page"),
-      cronEverySec = kv.get("every").map(_.toLong).getOrElse(0L))
+      seedCallback = kv.getOrElse("callback", xpathCb.getOrElse("bfs_page")),
+      cronEverySec = kv.get("every").map(_.toLong).getOrElse(0L),
+      callbacks = callbacks)
   }
 
   /** INI text → one ProjectSpec per section. */

@@ -126,11 +126,17 @@ object HtmlLite extends Serializable {
     * in the reference's conf/config.ini xpath maps (SURVEY P8/E8):
     * `//title/text()`, `//h1/text()`, `//meta[@charset]/@charset`,
     * element-subtree text for `//p`. */
+  private val MetaNameXpath =
+    """^//meta\[@name=['"]([^'"]+)['"]\]/@content$""".r
+
   def xpathExtract(html: String, xpath: String): String = xpath match {
     case "//title/text()" => extractTitle(html)
     case "//h1/text()"    => H1.findFirstMatchIn(html).map(m => unescapeHtml(m.group(1))).getOrElse("")
     case "//p/text()"     => P.findAllMatchIn(html).map(m => unescapeHtml(m.group(1))).mkString("\n")
     case "//a/@href"      => Href.findAllMatchIn(html).map(_.group(1)).mkString("\n")
+    case MetaNameXpath(nm) =>
+      (s"""(?i)<meta\\s[^>]*name\\s*=\\s*["']?${java.util.regex.Pattern.quote(nm)}["']?[^>]*content\\s*=\\s*"([^"]*)"""").r
+        .findFirstMatchIn(html).map(m => unescapeHtml(m.group(1))).getOrElse("")
     case _                => ""
   }
 

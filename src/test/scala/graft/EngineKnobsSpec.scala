@@ -474,6 +474,33 @@ class EngineKnobsSpec extends AnyFunSuite {
     assert(partial, "no round inherited buckets from an earlier manifest")
   }
 
+  test("P8 config xpath map: INI-declared {url_regex: {field: xpath}} extraction end-to-end") {
+    val list = "http://a.example/list/0"
+    val d1 = "http://a.example/item/1"; val d2 = "http://a.example/item/2"
+    val pages = Seq(page(list, Seq(d1, d2), "TheList"),
+      page(d1, Nil, "Item One"), page(d2, Nil, "Item Two"),
+      robots("a.example"))
+    val ini =
+      """[shop]
+        |seeds = http://a.example/list/0
+        |base_url_pattern = /item/,/list/
+        |xpath = {"/item/": {"title": "//title/text()", "headline": "//h1/text()"}}
+        |""".stripMargin
+    val eng = mkEngine(pages, config.ProjectIni.parse(ini))
+    eng.crawl(Nil, maxRounds = 6)
+    val res = eng.resultsDF().collect().map(r =>
+      r.getAs[String]("url") -> r.getAs[String]("result")).toMap
+    // only /item/ pages match the xpath pattern → only they emit results
+    assert(res.keySet === Set(d1, d2))
+    assert(res(d1).contains("\"title\": \"Item One\""))
+    assert(res(d1).contains("\"headline\": \"Item One\""))
+    assert(res(d2).contains("\"title\": \"Item Two\""))
+    // all three pages were crawled (list followed via base_url_pattern)
+    val seen = frontier.SeenSet.latest(
+      eng.store.readArchive(eng.store.lastCommitted().get)).collect().map(_.url).toSet
+    assert(seen === Set(list, d1, d2))
+  }
+
   test("F5 deterministic UA pick is stable and spread") {
     import graft.functions.UaPool
     val urls = (0 until 64).map(i => s"http://site$i.example/p/$i")
