@@ -20,7 +20,22 @@ case class FetchedPage(
     // F4 — merged cookie jar after the fetch: task cookies + every
     // Set-Cookie along the redirect chain + the final page's Set-Cookie,
     // later-wins per key ("k=v; k2=v2", keys sorted)
-    cookies: String = null)
+    cookies: String = null) {
+
+  /** P5 — lazy JSON view of the response body (reference `Response.json`,
+    * pyspider-master/pyspider/libs/response.py:136-145: json.loads on the
+    * decoded text, parsed once on first access). Jackson ships on the Spark
+    * classpath. Throws on non-JSON bodies, like the reference. The field is
+    * lazy and not a constructor param, so the Spark product encoder ignores
+    * it — no schema or shuffle cost unless a handler actually calls it. */
+  @transient lazy val json: com.fasterxml.jackson.databind.JsonNode =
+    FetchedPage.jsonMapper.readTree(text)
+}
+
+object FetchedPage {
+  private[process] val jsonMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper
+}
 
 /** What a callback asks the engine to do next — the typed restatement of
   * `self.crawl(...)` kwargs (reference spider/base_handler.py:259-361). */
@@ -119,7 +134,32 @@ object Handlers {
       }
     })
 
-  val registry: Map[String, Handler] = sample ++ bfs
+  /** P5 — API-crawling handlers over `page.json` (the reference's
+    * `mySpider/` pattern, e.g. mySpider/toutiao feed spiders: parse a JSON
+    * listing response, follow the item urls, emit item fields). */
+  val jsonApi: Map[String, Handler] = Map(
+    "json_list" -> new Handler {
+      def onPage(task: Task, page: FetchedPage): HandlerResult = {
+        if (page.statusCode != 200)
+          return HandlerResult(ok = false, exception = s"HTTP ${page.statusCode}")
+        val items = page.json.path("items")
+        val follows = (0 until items.size()).map(i =>
+          FollowSpec(items.get(i).path("url").asText(), callback = "json_item"))
+        HandlerResult(follows = follows)
+      }
+    },
+    "json_item" -> new Handler {
+      def onPage(task: Task, page: FetchedPage): HandlerResult = {
+        if (page.statusCode != 200)
+          return HandlerResult(ok = false, exception = s"HTTP ${page.statusCode}")
+        val j = page.json
+        HandlerResult(result =
+          s"""{"url": ${jsonStr(page.url)}, "id": ${j.path("id").asLong()},""" +
+            s""" "name": ${jsonStr(j.path("name").asText())}}""")
+      }
+    })
+
+  val registry: Map[String, Handler] = sample ++ bfs ++ jsonApi
 
   /** The crawl-API row constructor (reference base_handler.py:259-361 P10):
     * canonicalize, derive taskid/host, inherit project + depth+1, depth

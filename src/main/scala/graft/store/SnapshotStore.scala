@@ -52,10 +52,21 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
 
   /** Zero-delta round: round `n`'s live frontier IS round `ref`'s — record a
     * reference marker instead of rewriting the whole snapshot (Iceberg's
-    * unchanged-snapshot analog). readLive follows the chain. */
+    * unchanged-snapshot analog). The marker stores the ROOT round (ref's own
+    * marker is resolved at write time), so consecutive quiet rounds stay
+    * O(1) to read instead of an O(k) recursive chain (ADVICE r2). */
   def writeLiveRef(n: Long, ref: Long): Unit = {
+    val refP = new Path(s"${roundDir(ref)}/live_ref")
+    val root =
+      if (!fs.exists(refP)) ref
+      else {
+        val in = fs.open(refP)
+        val bytes = new Array[Byte](fs.getFileStatus(refP).getLen.toInt)
+        in.readFully(bytes); in.close()
+        new String(bytes, "UTF-8").trim.toLong
+      }
     val out = fs.create(new Path(s"${roundDir(n)}/live_ref"), true)
-    out.write(ref.toString.getBytes("UTF-8")); out.close()
+    out.write(root.toString.getBytes("UTF-8")); out.close()
   }
 
   // ---- bucketed copy-on-write live snapshots (Iceberg-manifest analog) ---
@@ -126,6 +137,12 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
       case Some(chg) =>
         val prev = readLiveManifest(n - 1).getOrElse(
           throw new IllegalStateException(s"no live manifest at ${n - 1}"))
+        // ADVICE r2: a resume with a different cfg.liveBuckets must not
+        // inherit buckets laid out under the old count (silent corruption) —
+        // the engine gates on manifest size, this is the hard backstop
+        require(prev.size == nBuckets,
+          s"live bucket count changed ${prev.size} -> $nBuckets at round $n; " +
+            "COW inherit is invalid — caller must fall back to a full rewrite")
         (0 until nBuckets).map { b =>
           if (chg(b)) b -> (n, footerRows(new Path(s"$dir/__bucket=$b")))
           else b -> prev(b)
@@ -143,6 +160,21 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
       case Some(m) => writeLiveManifest(n, m); true
       case None => false
     }
+
+  /** Read ONLY the given buckets of round `n`'s live snapshot — the
+    * bucket-pruned merge/status legs (VERDICT r2 top item): a politeness-
+    * bounded round touches O(selected + candidate) buckets; the untouched
+    * rest carries through the manifest with zero compute. Caller gates on
+    * the manifest existing with the right bucket count. */
+  def readLiveBuckets(n: Long, buckets: Set[Int]): Dataset[Task] = {
+    val m = readLiveManifest(n).getOrElse(
+      throw new IllegalStateException(s"readLiveBuckets($n): no live manifest"))
+    val paths = m.toSeq
+      .collect { case (b, (r, _)) if buckets(b) => s"${roundDir(r)}/live/__bucket=$b" }
+      .filter(p => fs.exists(new Path(p)))
+    if (paths.isEmpty) spark.emptyDataset[Task]
+    else spark.read.parquet(paths: _*).select(taskCols: _*).as[Task]
+  }
 
   def readLive(n: Long): Dataset[Task] = {
     readLiveManifest(n) match {
@@ -236,10 +268,99 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     snap.write.mode(SaveMode.Overwrite).parquet(compactDir(n))
     val out = fs.create(compactMarker(n), true)
     out.write("done".getBytes("UTF-8")); out.close()
-    // older compactions are now redundant — drop them (readers never pick a
-    // non-latest compaction, so deleting is safe at any time)
-    compactions().filter(_ < n).foreach(c =>
-      fs.delete(new Path(compactDir(c)), true))
+    // older compactions (and their bucket blooms) are now redundant — drop
+    // them (readers never pick a non-latest compaction, so deleting is safe)
+    compactions().filter(_ < n).foreach { c =>
+      fs.delete(new Path(compactDir(c)), true)
+      fs.delete(new Path(bloomsDir(c)), true)
+    }
+  }
+
+  // ---- bucket-local seen-blooms (the >bloomCap scale path) ---------------
+  // One bloom per taskid bucket, built DISTRIBUTED at compaction time and
+  // stored next to the compaction they cover. Executors load their buckets
+  // lazily (SeenSet.BucketBlooms); the driver never holds more than the
+  // post-compaction DELTA bloom — seen-set pre-filtering stays O(1) driver
+  // memory at a 10^10-key archive.
+
+  def bloomsDir(n: Long) = s"$root/archive/blooms=$n"
+  private def bloomsMarker(n: Long) = new Path(s"${bloomsDir(n)}/_DONE")
+
+  /** Latest completed bucket-bloom set ≤ upTo: (compaction round, nBuckets). */
+  def latestArchiveBlooms(upTo: Long): Option[(Long, Int)] = {
+    val p = new Path(s"$root/archive")
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("blooms=") => s.stripPrefix("blooms=").toLong }
+      .filter(c => c <= upTo && fs.exists(bloomsMarker(c)))
+      .sorted.lastOption.map { c =>
+        val metaP = new Path(s"${bloomsDir(c)}/_meta")
+        val in = fs.open(metaP)
+        val bytes = new Array[Byte](fs.getFileStatus(metaP).getLen.toInt)
+        in.readFully(bytes); in.close()
+        (c, new String(bytes, "UTF-8").trim.toInt)
+      }
+  }
+
+  /** Build per-bucket blooms over compaction `n`'s taskids. Fully
+    * distributed: the taskid column is shuffled to one partition per bucket
+    * and each partition BUILDS AND WRITES its buckets' blooms executor-side
+    * — no driver collect at any size. `expectedPerBucket` sizes each bloom
+    * (same-layout blooms are mergeable if buckets ever split). Marker +
+    * meta are written last (a torn build is invisible and retried at the
+    * next compaction cadence). */
+  def buildArchiveBlooms(n: Long, nBuckets: Int, expectedPerBucket: Long,
+                         fpp: Double = 0.01): Unit = {
+    import org.apache.spark.sql.functions.col
+    val dir = bloomsDir(n)
+    if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
+    fs.mkdirs(new Path(dir))
+    val exp = math.max(expectedPerBucket, 1000L)
+    spark.read.parquet(compactDir(n)).select(col("taskid"))
+      .withColumn("__b", bucketCol(nBuckets))
+      .repartition(nBuckets, col("__b"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val blooms = scala.collection.mutable.Map.empty[
+          Int, org.apache.spark.util.sketch.BloomFilter]
+        it.foreach { row =>
+          blooms.getOrElseUpdate(row.getInt(1),
+              org.apache.spark.util.sketch.BloomFilter.create(exp, fpp))
+            .putString(row.getString(0))
+        }
+        if (blooms.nonEmpty) {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          blooms.foreach { case (b, bf) =>
+            val p = new Path(s"$dir/bucket=$b.bloom")
+            val pfs = p.getFileSystem(conf)
+            val out = pfs.create(p, true)
+            try bf.writeTo(out) finally out.close()
+          }
+        }
+      }
+    // buckets with zero archived keys get an EMPTY bloom so executor probes
+    // never miss a file (mightContain = false for everything, exactly right)
+    val empty = org.apache.spark.util.sketch.BloomFilter.create(1000L, fpp)
+    (0 until nBuckets).foreach { b =>
+      val p = new Path(s"$dir/bucket=$b.bloom")
+      if (!fs.exists(p)) {
+        val out = fs.create(p, true)
+        try empty.writeTo(out) finally out.close()
+      }
+    }
+    val meta = fs.create(new Path(s"$dir/_meta"), true)
+    meta.write(nBuckets.toString.getBytes("UTF-8")); meta.close()
+    val done = fs.create(bloomsMarker(n), true)
+    done.write("done".getBytes("UTF-8")); done.close()
+  }
+
+  /** Archive delta dirs in (c, upTo] only — the rows a bucket-bloom set
+    * built at compaction `c` does NOT cover (the engine's delta bloom). */
+  def readArchiveDeltasAfter(c: Long, upTo: Long): Dataset[Task] = {
+    val dirs = committedRounds().filter(n => n > c && n <= upTo)
+      .map(n => s"$root/archive/round=$n")
+      .filter(d => fs.exists(new Path(d)))
+    if (dirs.isEmpty) spark.emptyDataset[Task]
+    else spark.read.parquet(dirs: _*).as[Task]
   }
 
   /** Latest-wins log read: newest compaction ≤ upTo, plus deltas after it. */
@@ -317,27 +438,40 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
   }
 
   /** Purge `project` at committed round `n`: tombstone (logical, instant for
-    * results/html/metrics readers) + physical rewrite of the LIVE frontier
-    * (swap-in replace) and the archive (compaction with exclusion) so the
-    * seen-set forgets the project — re-adding it later re-crawls from
-    * scratch, matching a reference project delete + re-create. */
+    * results/html/metrics readers), archive compaction with exclusion (so
+    * the seen-set forgets the project — re-adding it later re-crawls from
+    * scratch, matching a reference project delete + re-create), and the
+    * purged LIVE frontier published as a NEW committed round `n+1`. The
+    * committed round `n` is never mutated (ADVICE r2: the in-place swap
+    * could leave a truncated or unreadable committed snapshot on crash) —
+    * a crash anywhere in here leaves round `n` intact and is healed by
+    * re-running the purge (every step is idempotent). */
   def purgeProject(n: Long, project: String): Unit = {
+    import org.apache.spark.sql.functions.col
     val out = fs.create(tombstone(project), true)
     out.write("deleted".getBytes("UTF-8")); out.close()
-    // live: materialize the filtered set NEXT TO the old dir, then swap
-    // (readLive resolves a live_ref chain; the purge writes a REAL dir)
-    val liveDir = new Path(s"${roundDir(n)}/live")
-    val tmpDir = new Path(s"${roundDir(n)}/live__purge")
-    readLive(n).filter(t => t.project != project)
-      .write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
-    fs.delete(liveDir, true)
-    fs.delete(new Path(s"${roundDir(n)}/live_ref"), false)
-    fs.delete(liveManifestPath(n), false) // plain dir now owns the snapshot
-    fs.rename(tmpDir, liveDir)
-    // archive: fold to a compaction that excludes the project (also removes
-    // the per-round delta dirs from the read path)
+    // archive: fold to a compaction that excludes the project (atomic via
+    // its _DONE marker; also removes per-round delta dirs from the read path)
     compactArchive(n, exclude = Set(project))
+    // live + tokens: write under round n+1, manifest LAST (commit point)
+    val m = n + 1
+    val mDir = new Path(roundDir(m))
+    if (fs.exists(mDir)) fs.delete(mDir, true) // torn uncommitted leftovers
+    readLive(n).toDF().filter(col("project") =!= project)
+      .write.mode(SaveMode.Overwrite).parquet(s"${roundDir(m)}/live")
+    writeTokensUnified(m, readTokensUnified(n)
+      .filter(!(col("kind") === "proj" && col("key") === project)))
+    val liveRows = footerRows(new Path(s"${roundDir(m)}/live"))
+    val archTotal = footerRows(new Path(compactDir(n)))
+    commit(m, nowOf(n), liveRows, 0, archTotal, 0, 0,
+      Seq("live" -> liveRows), processingRows = processingRowsOf(n))
   }
+
+  /** Logical clock recorded at round n's commit. */
+  def nowOf(n: Long): Double =
+    readManifest(n).flatMap { s =>
+      """"now":([0-9.eE+-]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
+    }.getOrElse(0.0)
 
   /** Physically drop tombstoned projects from the append-only logs
     * (results/html/metrics) and clear the tombstones. O(round dirs) — run
@@ -433,12 +567,15 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     dropRounds(root); dropRounds(s"$root/archive")
     dropRounds(s"$root/results"); dropRounds(s"$root/metrics")
     dropRounds(s"$root/control"); dropRounds(s"$root/html")
-    // compactions newer than the resume point are torn state
+    // compactions (and their bucket blooms) newer than the resume point are
+    // torn state
     val arch = new Path(s"$root/archive")
     if (fs.exists(arch)) fs.listStatus(arch).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith("compact=") && name.stripPrefix("compact=").toLong > n)
-        fs.delete(st.getPath, true)
+      val torn =
+        (name.startsWith("compact=") && name.stripPrefix("compact=").toLong > n) ||
+        (name.startsWith("blooms=") && name.stripPrefix("blooms=").toLong > n)
+      if (torn) fs.delete(st.getPath, true)
     }
   }
 }

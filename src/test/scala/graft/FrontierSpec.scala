@@ -100,7 +100,7 @@ class FrontierSpec extends AnyFunSuite {
     val out = Frontier.mergeIntoLive(live, cands, archive,
         spark.emptyDataset[Task], bloom = None,
         now, round = 7, depthLimit = -1)
-      .collect().map(t => t.taskid -> t).toMap
+      ._1.collect().map(t => t.taskid -> t).toMap
     assert(out.keySet === Set("pending", "brandnew", "expired", "retagged"))
     assert(out("pending").schedule.priority === 0) // old pending row kept
     assert(out("brandnew").seq === 7 && out("brandnew").status === Status.Active)
