@@ -61,6 +61,15 @@ case class EngineConfig(
     liveBuckets: Int = 32,
     // below this live size a whole rewrite is cheaper than COW bookkeeping
     cowMinLive: Long = 100_000L,
+    // merge-on-read live deltas (the O(selected)-write round; see
+    // SnapshotStore.writeLiveDelta): a bounded round writes only
+    // upsert/delete delta files and readers overlay them BROADCAST over the
+    // last materialized snapshot. This caps the cumulative overlay rows —
+    // past it (or at compaction cadence) the round materializes a full
+    // snapshot and the chain resets. 0 disables (always materialize).
+    // Size it to the broadcast budget: overlay rows × ~60 B must fit the
+    // driver/executor broadcast comfort zone.
+    morOverlayMax: Long = 1_000_000L,
     // non-null: the fetcher materializes its url-unique corpus view ONCE as
     // a url-bucketed, url-sorted parquet table under this dir (the 100-TB
     // shape — per-round fetch joins reuse the bucketing with zero corpus
@@ -484,6 +493,24 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
       store.readLiveManifest(n - 1).exists(_.size == B) && // A1 count guard
       prevLiveRows.exists(_ >= cfg.cowMinLive)
 
+    // MERGE-ON-READ rounds (the true O(selected)-write shape): bucket COW
+    // degenerates to a full rewrite whenever the round touches most buckets
+    // — and selected/candidate keys are hash-uniform, so it almost always
+    // does. When the previous round is quiescent (no PROCESSING row), the
+    // frontier is big enough for delta bookkeeping to pay, and the overlay
+    // budget has room, this round writes only row-level up/del deltas and
+    // the merge/status legs see just the rows whose keys the round touches
+    // (semi-join fetch — bounded output, the frontier itself never rewritten
+    // or shuffled). Materialization happens at compaction cadence or when
+    // the overlay budget fills. The per-round gate on MEASURED candidate
+    // counts is applied in buildMergeLeg (morRound).
+    val prevOverlayRows = store.liveOverlayRows(n - 1)
+    val morPlausible = cfg.morOverlayMax > 0 &&
+      store.processingRowsOf(n - 1) == 0L &&
+      prevLiveRows.exists(_ >= cfg.cowMinLive) &&
+      prevOverlayRows < cfg.morOverlayMax &&
+      !(cfg.compactEvery > 0 && n % cfg.compactEvery == 0)
+
     // O4 requeue (robots are admission-time now — zero per-round live cost),
     // then O3 due / O2 priority / O5-O7 budgets
     val __planT0 = System.nanoTime()
@@ -555,7 +582,8 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     // fast path must not even construct them — analyzing + cache-registering
     // the big join plans costs driver seconds, and uncaching the resulting
     // never-materialized entries was measured at 18 s per quiet round.
-    def buildMergeLeg(): (Dataset[Task], Dataset[Task], Dataset[ResultRow], Option[Set[Int]]) = {
+    def buildMergeLeg(): (Dataset[Task], Dataset[Task], Dataset[ResultRow],
+                          Option[Set[Int]], Option[(DataFrame, Long)]) = {
       val packs = processed.select(col("status.*")).as[StatusPack]
       val followsFlat = applyFollowFilters(
         processed.select(explode(col("follows")).as("__f"))
@@ -591,13 +619,24 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
         else Frontier.mergeCandidates(
           onlyActive(followTasks.union(cronCands).union(controlCands))))
 
-      // TOUCHED-BUCKET set: only buckets holding a selected or candidate key
-      // can change this round (timeout requeue excluded by the
-      // processing-rows precondition in cowPlausible; candidates0 is the
-      // pre-O9 superset — an O9-dropped candidate's bucket is rewritten
-      // byte-identical, which is safe). Too many touched → whole rewrite.
+      // MOR round gate on MEASURED counts: the round's touched key set
+      // (selected ∪ candidates) must be broadcast-sized — it becomes the
+      // semi-join build side here AND the written delta (bounded overlay)
+      val morRound = morPlausible &&
+        selectedCount + followsCount + controlCount + cronCount <=
+          cfg.broadcastFetchMax
+
+      // TOUCHED-BUCKET set (non-MOR fallback): only buckets holding a
+      // selected or candidate key can change this round (timeout requeue
+      // excluded by the processing-rows precondition in cowPlausible;
+      // candidates0 is the pre-O9 superset — an O9-dropped candidate's
+      // bucket is rewritten byte-identical, which is safe). Too many
+      // touched → whole rewrite. With hash-uniform keys this almost always
+      // degenerates — the MOR path above is the production shape; the
+      // bucket path still wins when a round's keys cluster (single-host
+      // recrawl) or MOR is disabled.
       val changedBuckets: Option[Set[Int]] =
-        if (!cowPlausible) None
+        if (morRound || !cowPlausible) None
         else {
           val bc = store.bucketCol(B)
           val bks = timed("cow.buckets")(
@@ -606,13 +645,21 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
               .distinct().collect().map(_.getInt(0)).toSet)
           if (bks.size * 2 >= B) None else Some(bks)
         }
-      // the merge/status legs see ONLY the touched buckets; untouched rows
-      // carry through the manifest with zero compute (the r2 engine scanned
-      // and rewrote plans over the whole frontier every round)
-      val liveForMerge: Dataset[Task] = changedBuckets match {
-        case Some(bks) => store.readLiveBuckets(n - 1, bks)
-        case None => if (cowPlausible) hook(live) else live
-      }
+      // the merge/status legs see ONLY the touched rows: under MOR the
+      // rows whose keys the round selected or rediscovered (semi-join
+      // fetch, bounded output — the frontier streams one columnar scan and
+      // is never shuffled); under bucket-COW the touched buckets; else the
+      // full frontier (cached — selection + merge share it)
+      val liveForMerge: Dataset[Task] =
+        if (morRound) {
+          val semiKeys = broadcast(
+            selected.select(col("project"), col("taskid"))
+              .union(candidates0.select(col("project"), col("taskid"))))
+          hook(live.join(semiKeys, Seq("project", "taskid"), "left_semi").as[Task])
+        } else changedBuckets match {
+          case Some(bks) => store.readLiveBuckets(n - 1, bks)
+          case None => if (cowPlausible) hook(live) else live
+        }
 
       // mark selected rows PROCESSING (the reference's processing queue, O4);
       // selected keys are all in touched buckets (bucket = f(taskid)).
@@ -658,7 +705,19 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
       // robots-denied rows join the archive (seen once, never live)
       val archiveAll =
         if (anyRobots) archiveDelta.union(denied) else archiveDelta
-      (newLive, archiveAll, results, changedBuckets)
+      // MOR extras: the delete keys (rows that LEFT the live set = this
+      // round's archived keys, minus any key the merge re-admitted in the
+      // same round — the upsert wins) and the touched-row count for the
+      // live-total arithmetic. Both sides are round-bounded.
+      val morInfo: Option[(DataFrame, Long)] =
+        if (!morRound) None
+        else {
+          val delKeys = archiveDelta.select(col("project"), col("taskid"))
+            .join(broadcast(newLive.select(col("project"), col("taskid"))),
+              Seq("project", "taskid"), "left_anti")
+          Some((delKeys, liveForMerge.count()))
+        }
+      (newLive, archiveAll, results, changedBuckets, morInfo)
     }
 
     // token carry (O5/O6 closed form) — one pass for both bucket kinds.
@@ -714,32 +773,45 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
           store.writeTokensUnified(n, tokensOut))), Duration.Inf)
         (store.liveRowsOf(n - 1).getOrElse(0L), 0L)
       } else {
-        val (newLive, archiveDelta, results, changedBuckets) = buildMergeLeg()
+        val (newLive, archiveDelta, results, changedBuckets, morInfo) = buildMergeLeg()
         archiveDeltaOpt = Some(archiveDelta)
         val liveObs = new org.apache.spark.sql.Observation(s"live_$n")
         val archObs = new org.apache.spark.sql.Observation(s"arch_$n")
         // bucketed COW write: observation sits ABOVE the bucket filter, so
         // its counts cover exactly the rows written; processing-row count is
         // still complete (precondition: no PROCESSING rows elsewhere) and
-        // the total live count comes from the manifest (footer-exact)
+        // the total live count comes from the manifest (footer-exact).
+        // MOR write: only the up/del deltas are written — the live total is
+        // prev − touched + upserts (untouched base rows carry with zero
+        // compute; the observation covers every written row, and the
+        // processing count is complete by the same precondition).
         var cowTotal = 0L
-        val fLive = Future(timed("writeLive")(
-          if (cfg.liveBuckets > 0) {
-            val withB = newLive.toDF()
-              .withColumn("__bucket", store.bucketCol(cfg.liveBuckets))
-            val toWrite = changedBuckets match {
-              case Some(chg) => withB.filter(col("__bucket").isin(chg.toSeq: _*))
-              case None => withB
-            }
-            cowTotal = store.writeLiveBucketed(n,
-              toWrite.observe(liveObs, count(lit(1)).as("rows"),
+        val fLive = Future(timed("writeLive")(morInfo match {
+          case Some((delKeys, touchedPrev)) =>
+            val (upRows, _) = store.writeLiveDelta(n,
+              newLive.toDF().observe(liveObs, count(lit(1)).as("rows"),
                 sum(when(col("status") === Status.Processing, 1L).otherwise(0L))
                   .as("processing")),
-              changedBuckets, cfg.liveBuckets)
-          } else store.writeLive(n,
-            newLive.observe(liveObs, count(lit(1)).as("rows"),
-              sum(when(col("status") === Status.Processing, 1L).otherwise(0L))
-                .as("processing")))))
+              delKeys)
+            cowTotal = prevLiveRows.get - touchedPrev + upRows
+          case None =>
+            if (cfg.liveBuckets > 0) {
+              val withB = newLive.toDF()
+                .withColumn("__bucket", store.bucketCol(cfg.liveBuckets))
+              val toWrite = changedBuckets match {
+                case Some(chg) => withB.filter(col("__bucket").isin(chg.toSeq: _*))
+                case None => withB
+              }
+              cowTotal = store.writeLiveBucketed(n,
+                toWrite.observe(liveObs, count(lit(1)).as("rows"),
+                  sum(when(col("status") === Status.Processing, 1L).otherwise(0L))
+                    .as("processing")),
+                changedBuckets, cfg.liveBuckets)
+            } else store.writeLive(n,
+              newLive.observe(liveObs, count(lit(1)).as("rows"),
+                sum(when(col("status") === Status.Processing, 1L).otherwise(0L))
+                  .as("processing")))
+        }))
         val fArch = Future(timed("writeArchive")(store.appendArchive(n,
           archiveDelta.observe(archObs, count(lit(1)).as("rows")))))
         val fRes = Future(timed("writeResults")(store.appendResults(n,
@@ -762,7 +834,7 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
         processingRows = Option(liveObs.get("processing"))
           .collect { case l: Long => l }.getOrElse(0L)
         val totalLive =
-          if (cfg.liveBuckets > 0) cowTotal
+          if (morInfo.isDefined || cfg.liveBuckets > 0) cowTotal
           else liveObs.get("rows").asInstanceOf[Long]
         (totalLive, archObs.get("rows").asInstanceOf[Long])
       }

@@ -123,29 +123,36 @@ object Frontier {
              dt: Double, hostTokens: DataFrame, projTokens: DataFrame,
              dueBound: Long = Long.MaxValue,
              broadcastKeys: Boolean = true): DataFrame = {
-    // NO-BIND SHORTCUT: a budget's LOWER bound over ANY token state is
-    // min(burst, rate·dt) (tokens are clamped ≥ 0, so
-    // least(burst, tokens + rate·dt) ≥ least(burst, rate·dt)) and the
-    // fairness cap is loopLimit/10 — when every such bound ≥ `dueBound`, a
-    // MEASURED upper bound on this round's due rows (the caller passes the
-    // previous snapshot's committed live count; due ⊆ live), the rank
-    // filters provably keep EVERY row, so the two windows (a full
-    // sort-shuffle of the fattest DF each, partitioned by host with real
-    // corpora 30 % skewed) are identity work: skip them. This is the
-    // BFS-benchmark / unthrottled-backfill regime; politeness-bounded
-    // production configs keep the budgeted path below. (ADVICE r2: the gate
-    // was a hard-coded 5e7 "plausible round" constant — a config with a real
-    // budget above it silently bypassed politeness.)
-    val noBind =
-      dueBound != Long.MaxValue &&
-        math.min(hostBurst, hostRate * dt) >= dueBound &&
-        projects.forall(c =>
-          math.min(c.burst, c.rate * dt) >= dueBound &&
-            (c.loopLimit / 10).toLong >= dueBound)
+    // RANK SEMANTICS (documented restatement, SURVEY §2 O1/O6/O7; replayed
+    // literally by OrderingParitySpec's heap simulator): the host rank and
+    // the project rank of a due row are each its position in the documented
+    // total order WITHIN THE FULL DUE SET of that key — a row denied by the
+    // OTHER key's budget still occupies a rank slot. The two ranks are
+    // therefore computed as INDEPENDENT legs over the same due scan and
+    // intersected at the end; feeding one leg's survivors into the other
+    // (the r2 shape) would shift ranks whenever a trim actually bites.
+    //
+    // A budget's LOWER bound over ANY token state is min(burst, rate·dt)
+    // (tokens are clamped ≥ 0) and the fairness cap is loopLimit/10 — when
+    // such a bound ≥ `dueBound`, a MEASURED upper bound on this round's due
+    // rows (the caller passes the previous snapshot's committed live count;
+    // due ⊆ live), that leg's rank filter provably keeps EVERY row: the leg
+    // is skipped entirely. (ADVICE r2: the gate was a hard-coded 5e7
+    // "plausible round" constant — a config with a real budget above it
+    // silently bypassed politeness.)
     val d = projects.head
     def pp(f: ProjectConfig => Any, default: Any): Column =
       perProject(projects.map(c => c.name -> f(c)).toMap, default)
-    if (noBind) {
+    val measured = dueBound != Long.MaxValue
+    val hostBinds = !(measured && math.min(hostBurst, hostRate * dt) >= dueBound)
+    def projBinds(c: ProjectConfig): Boolean =
+      !(measured && math.min(c.burst, c.rate * dt) >= dueBound &&
+        math.max(1L, c.loopLimit / 10) >= dueBound)
+    val boundedProjects = projects.filter(projBinds)
+
+    // NO-BIND SHORTCUT: nothing binds — the BFS-benchmark / unthrottled-
+    // backfill regime; only the global LOOP_LIMIT (if any) orders a top-K.
+    if (!hostBinds && boundedProjects.isEmpty) {
       return (
         if (globalLoopLimit.toLong >= Int.MaxValue / 2) dueTasks
         else dueTasks // O2 priority still orders the global cap's top-K
@@ -167,65 +174,91 @@ object Frontier {
     val perProjectCap =
       greatest(lit(1L), floor(pp(_.loopLimit, d.loopLimit) / 10))
 
-    // NARROW window legs (r3 scale fix): the rank windows are the round's
-    // only remaining O(|due|) SHUFFLE — carrying the full 40-field nested
-    // Task through them moves ~1 KB/row where the ordering + budget keys
-    // need ~60 B/row. Rank on the narrow projection, then fetch the
-    // selected rows by key from the original scan (semi-join: the due set
-    // streams map-side COLUMNAR against the politeness-bounded key set —
-    // one extra scan, ~16× less exchange volume).
-    val narrow = dueTasks
-      .select(col("project"), col("taskid"), col("host"), col("depth"),
-        col("schedule.priority").as("__prio"),
-        col("schedule.exetime").as("__exe"), col("seq"))
-      .withColumn("eff_priority",
-        when(pDepthLimit =!= -1, -col("depth")).otherwise(col("__prio")))
-    val nOrder = Seq(col("eff_priority").desc, col("__exe").asc,
+    val nOrder = Seq(col("eff_priority").desc, col("schedule.exetime").asc,
       col("seq").asc, col("taskid").asc)
+    val base = dueTasks.withColumn("eff_priority",
+      when(pDepthLimit =!= -1, -col("depth"))
+        .otherwise(col("schedule.priority")))
+    val baseCols = base.columns.toSeq
 
-    val joined = narrow
-      .join(broadcast(hostTokens.withColumnRenamed("tokens", "host_tokens")),
-        Seq("host"), "left_outer")
-      .join(broadcast(projTokens.withColumnRenamed("tokens", "proj_tokens")),
-        Seq("project"), "left_outer")
+    // SKEW DEFUSE + SHUFFLE KILL (SURVEY §4): a plain rank window
+    // sort-shuffles the WHOLE due set, and a hot domain holding ~30% of
+    // the frontier lands in one partition. Each leg's filter therefore
+    // carries a LITERAL rank bound next to the exact budget bound — the
+    // literal engages Spark's rank-limit pushdown (InferWindowGroupLimit,
+    // SPARK-37099): a PARTIAL WindowGroupLimit runs below the exchange, so
+    // every input partition keeps only its per-key top-K rows (bounded
+    // per-group heap, no sort of the full due set) and the exchange
+    // carries ≤ K·partitions rows per key instead of the whole frontier —
+    // the reference's priority-heap semantics (task_queue.py
+    // PriorityTaskQueue) as a map-side combine. The literal upper-bounds
+    // the budget (tokens are clamped ≤ burst), so it is a pure superset of
+    // the exact filter beside it.
+    def rankLeg(part: String, exactBound: Column, kLit: Long,
+                in: DataFrame): DataFrame = {
+      val rn = row_number().over(Window.partitionBy(part).orderBy(nOrder: _*))
+      val trimmed = in.withColumn("__rank", rn)
+      val cond =
+        if (kLit <= 100_000) col("__rank") <= lit(kLit) && col("__rank") <= exactBound
+        else col("__rank") <= exactBound
+      trimmed.filter(cond).select(baseCols.map(col): _*)
+    }
 
-    // SKEW DEFUSE (SURVEY §4): with a hot domain holding ~30% of the
-    // frontier, Window.partitionBy(host) puts millions of rows in one
-    // partition. When the budget is small enough for salting to pay, rank
-    // per (host, salt) first and keep only each salt's top `budget` rows —
-    // the final exact per-host rank then sees ≤ SALT×budget rows per host.
-    // Pure pre-trim: rows beyond the per-salt budget can never be within
-    // the per-host budget, so the final selection is unchanged.
-    val SALT = 16
-    val preTrimmed =
-      if (hostBurst <= 100_000) {
-        joined
-          .withColumn("__salt", pmod(hash(col("taskid")), lit(SALT)))
-          .withColumn("__r0", row_number().over(
-            Window.partitionBy("host", "__salt").orderBy(nOrder: _*)))
-          .filter(col("__r0") <= ceil(hostBudget))
-          .drop("__salt", "__r0")
-      } else joined
+    // host leg: rank within host over the FULL due set
+    val hostAdmitted: DataFrame =
+      if (!hostBinds) null
+      else rankLeg("host", floor(hostBudget), math.ceil(hostBurst).toLong,
+        base.join(broadcast(hostTokens.withColumnRenamed("tokens", "host_tokens")),
+          Seq("host"), "left_outer"))
 
-    val ranked = preTrimmed
-      .withColumn("host_rank",
-        row_number().over(Window.partitionBy("host").orderBy(nOrder: _*)))
-      .withColumn("proj_rank",
-        row_number().over(Window.partitionBy("project").orderBy(nOrder: _*)))
+    // project leg: rank within project over the project's FULL due set.
+    // Rows of never-binding projects bypass this leg (partitionBy(project)
+    // makes their absence invisible to other projects' ranks). Projects
+    // absent from `projects` fall back to the head config's parameters, so
+    // they follow the head's boundedness classification.
+    val unboundedNames = projects.filterNot(projBinds).map(_.name)
+    val headBounded = boundedProjects.exists(_.name == d.name)
+    val isBoundedRow: Column =
+      if (unboundedNames.isEmpty) lit(true)
+      else if (headBounded) !col("project").isin(unboundedNames: _*)
+      else col("project").isin(boundedProjects.map(_.name): _*)
+    val projAdmitted: DataFrame =
+      if (boundedProjects.isEmpty) null
+      else {
+        val kP = boundedProjects.map(c => math.min(
+          math.ceil(c.burst), math.max(1L, c.loopLimit / 10).toDouble))
+          .max.toLong
+        rankLeg("project", least(floor(projBudget), perProjectCap), kP,
+          base.filter(isBoundedRow)
+            .join(broadcast(projTokens.withColumnRenamed("tokens", "proj_tokens")),
+              Seq("project"), "left_outer"))
+      }
 
-    val budgeted = ranked
-      .filter(col("host_rank") <= floor(hostBudget) &&
-        col("proj_rank") <= least(floor(projBudget), perProjectCap))
+    // intersect the legs: a row needs every BINDING key's admission; both
+    // admitted sets are budget-bounded, so the joins are tiny
+    val budgeted: DataFrame = (Option(hostAdmitted), Option(projAdmitted)) match {
+      case (Some(h), None) => h
+      case (None, Some(p)) => // host never binds: unbounded-project rows all pass
+        if (unboundedNames.isEmpty) p
+        else p.union(base.filter(!isBoundedRow).select(baseCols.map(col): _*))
+      case (Some(h), Some(p)) =>
+        val pKeys = broadcast(p.select(col("project"), col("taskid")))
+        val hBounded = h.filter(isBoundedRow)
+          .join(pKeys, Seq("project", "taskid"), "left_semi")
+          .select(baseCols.map(col): _*)
+        if (unboundedNames.isEmpty) hBounded
+        else hBounded.union(h.filter(!isBoundedRow).select(baseCols.map(col): _*))
+      case (None, None) => throw new IllegalStateException("unreachable: no-bind handled above")
+    }
+
     // global LOOP_LIMIT cap (scheduler.py:38) — a TOTAL sort over the
-    // already-budgeted narrow rows; skipped when the cap cannot bind
+    // already-budgeted (politeness-bounded) rows; skipped when the cap
+    // cannot bind
     val capped =
       if (globalLoopLimit.toLong >= Int.MaxValue / 2) budgeted
       else budgeted.orderBy(nOrder: _*).limit(globalLoopLimit)
-    // key-fetch join: bounded keys broadcast (production shape) or
-    // SHUFFLE_HASH (no driver collect) — the due scan never full-shuffles
-    val keys0 = capped.select("project", "taskid")
-    val keys = if (broadcastKeys) broadcast(keys0) else keys0.hint("SHUFFLE_HASH")
-    dueTasks.join(keys, Seq("project", "taskid"), "left_semi")
+    // restore the input column set (helper columns ride along until here)
+    capped.select(dueTasks.columns.toSeq.map(col): _*)
   }
 
   /** Post-selection token consumption: the carry for the next round.

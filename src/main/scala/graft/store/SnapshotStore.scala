@@ -161,6 +161,140 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
       case None => false
     }
 
+  // ---- merge-on-read live deltas (the O(selected)-write round) -----------
+  // Bucket-level COW cannot bound a round's write: selected/candidate keys
+  // are HASH-UNIFORM over taskid, so any round with more than a handful of
+  // keys touches every bucket and degenerates to a full rewrite (measured:
+  // 2048 selected keys over B=32 → all 32 buckets, 10^7-row frontier
+  // rewritten per round). The scale shape is Iceberg's merge-on-read with
+  // equality deletes: a bounded round writes ONLY
+  //   round=N/live_delta/up/   rows whose state changed or that inserted
+  //   round=N/live_delta/del/  (project, taskid) keys that LEFT the live set
+  //   round=N/live_delta.json  {"base":B,"rows":cumulativeOverlayRows}
+  // and readers overlay the delta chain (base, N] onto the last
+  // materialized snapshot `B`: base rows minus overlaid keys, plus the
+  // latest-round upsert per key. The overlay is bounded by the caller
+  // (cumulative rows tracked in the marker; the engine materializes a full
+  // snapshot when it grows past its broadcast budget or at compaction
+  // cadence), so the overlay side BROADCASTS and the base streams map-side
+  // — a round's live write AND the read overlay are O(round), not O(|live|).
+
+  private def liveDeltaMarker(n: Long) = new Path(s"${roundDir(n)}/live_delta.json")
+  private def liveDeltaDir(n: Long) = s"${roundDir(n)}/live_delta"
+
+  /** (base materialized round, cumulative overlay rows) of round n's delta
+    * chain, if round n is a delta round. */
+  def liveDeltaInfo(n: Long): Option[(Long, Long)] = {
+    val p = liveDeltaMarker(n)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    in.readFully(bytes); in.close()
+    val s = new String(bytes, "UTF-8")
+    for {
+      b <- """"base":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+      r <- """"rows":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+    } yield (b, r)
+  }
+
+  /** Nearest materialized live snapshot at or below round `r` (a bucketed
+    * manifest, a plain live dir, a live_ref root, or a delta chain's base). */
+  def resolveLiveBase(r: Long): Long = {
+    if (fs.exists(liveManifestPath(r)) || fs.exists(new Path(s"${roundDir(r)}/live")))
+      r
+    else liveDeltaInfo(r) match {
+      case Some((base, _)) => base
+      case None =>
+        val refP = new Path(s"${roundDir(r)}/live_ref")
+        if (fs.exists(refP)) {
+          val in = fs.open(refP)
+          val bytes = new Array[Byte](fs.getFileStatus(refP).getLen.toInt)
+          in.readFully(bytes); in.close()
+          resolveLiveBase(new String(bytes, "UTF-8").trim.toLong)
+        } else
+          throw new IllegalStateException(s"no live snapshot at round $r")
+    }
+  }
+
+  /** Cumulative overlay rows of round `r`'s delta chain — 0 when `r` is a
+    * materialized snapshot; follows live_ref markers (a quiet round between
+    * delta rounds must not reset the budget counter). */
+  def liveOverlayRows(r: Long): Long =
+    liveDeltaInfo(r) match {
+      case Some((_, cum)) => cum
+      case None =>
+        if (fs.exists(liveManifestPath(r)) ||
+            fs.exists(new Path(s"${roundDir(r)}/live"))) 0L
+        else {
+          val refP = new Path(s"${roundDir(r)}/live_ref")
+          if (!fs.exists(refP)) 0L
+          else {
+            val in = fs.open(refP)
+            val bytes = new Array[Byte](fs.getFileStatus(refP).getLen.toInt)
+            in.readFully(bytes); in.close()
+            liveOverlayRows(new String(bytes, "UTF-8").trim.toLong)
+          }
+        }
+    }
+
+  /** Write round `n`'s live state as a delta over round n-1. `upserts` must
+    * carry the full Task columns; `deleteKeys` is (project, taskid) of rows
+    * that left the live set THIS round, already excluding any key that also
+    * appears in `upserts` (same-round re-admission wins). Returns the rows
+    * written as (upsertRows, deleteRows), footer-exact. */
+  def writeLiveDelta(n: Long, upserts: DataFrame, deleteKeys: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions.lit
+    val base = resolveLiveBase(n - 1)
+    val prevCum = liveOverlayRows(n - 1)
+    upserts.withColumn("__dround", lit(n))
+      .write.mode(SaveMode.Overwrite).parquet(s"${liveDeltaDir(n)}/up")
+    deleteKeys.select(deleteKeys("project"), deleteKeys("taskid"))
+      .withColumn("__dround", lit(n))
+      .write.mode(SaveMode.Overwrite).parquet(s"${liveDeltaDir(n)}/del")
+    val upRows = footerRows(new Path(s"${liveDeltaDir(n)}/up"))
+    val delRows = footerRows(new Path(s"${liveDeltaDir(n)}/del"))
+    val json = s"""{"base":$base,"rows":${prevCum + upRows + delRows}}"""
+    val tmp = new Path(s"${roundDir(n)}/live_delta.json.tmp")
+    val out = fs.create(tmp, true)
+    out.write(json.getBytes("UTF-8")); out.close()
+    fs.rename(tmp, liveDeltaMarker(n))
+    (upRows, delRows)
+  }
+
+  /** Round n's live set = base snapshot with the delta chain (base, n]
+    * overlaid, latest round wins per (project, taskid). The overlay side is
+    * bounded (see writeLiveDelta) and BROADCAST — the base is never
+    * shuffled or rewritten. */
+  private def readLiveViaDeltas(n: Long, base: Long): Dataset[Task] = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, max, struct}
+    val rounds = ((base + 1) to n)
+      .filter(r => fs.exists(new Path(s"${liveDeltaDir(r)}/up")))
+    val upDirs = rounds.map(r => s"${liveDeltaDir(r)}/up")
+    val delDirs = rounds.map(r => s"${liveDeltaDir(r)}/del")
+      .filter(d => fs.exists(new Path(d)))
+    val taskSchema = org.apache.spark.sql.Encoders.product[Task].schema
+    val ups = spark.read.parquet(upDirs: _*)
+      .select((taskCols :+ col("__dround")): _*)
+      .select(col("project"), col("taskid"), col("__dround"),
+        lit(true).as("__keep"), struct(taskCols: _*).as("__row"))
+    val dels =
+      if (delDirs.isEmpty) None
+      else Some(spark.read.parquet(delDirs: _*)
+        .select(col("project"), col("taskid"), col("__dround"),
+          lit(false).as("__keep"), lit(null).cast(taskSchema).as("__row")))
+    val overlay = dels.fold(ups)(ups.union(_))
+      .groupBy("project", "taskid")
+      .agg(max(struct(col("__dround"), col("__keep"), col("__row"))).as("w"))
+    val baseLive = readLive(base).toDF()
+    baseLive
+      .join(broadcast(overlay.select("project", "taskid")),
+        Seq("project", "taskid"), "left_anti")
+      .select(taskCols: _*)
+      .union(overlay.filter(col("w.__keep")).select(
+        taskColNames.map(c => col(s"w.__row.$c").as(c)): _*))
+      .as[Task]
+  }
+
   /** Read ONLY the given buckets of round `n`'s live snapshot — the
     * bucket-pruned merge/status legs (VERDICT r2 top item): a politeness-
     * bounded round touches O(selected + candidate) buckets; the untouched
@@ -188,23 +322,27 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
       case None =>
         val dir = new Path(s"${roundDir(n)}/live")
         if (fs.exists(dir)) spark.read.parquet(dir.toString).as[Task]
-        else {
-          val refP = new Path(s"${roundDir(n)}/live_ref")
-          val in = fs.open(refP)
-          val bytes = new Array[Byte](fs.getFileStatus(refP).getLen.toInt)
-          in.readFully(bytes); in.close()
-          readLive(new String(bytes, "UTF-8").trim.toLong)
+        else liveDeltaInfo(n) match {
+          case Some((base, _)) => readLiveViaDeltas(n, base)
+          case None =>
+            val refP = new Path(s"${roundDir(n)}/live_ref")
+            val in = fs.open(refP)
+            val bytes = new Array[Byte](fs.getFileStatus(refP).getLen.toInt)
+            in.readFully(bytes); in.close()
+            readLive(new String(bytes, "UTF-8").trim.toLong)
         }
     }
   }
 
   /** Task columns in declaration order (drops any partition-derived extras
     * like `__bucket` a multi-leaf-dir read may surface). */
-  private lazy val taskCols = {
-    import org.apache.spark.sql.functions.col
+  private lazy val taskColNames: Seq[String] =
     Seq("taskid", "project", "url", "status", "host", "depth", "schedule",
       "fetch", "process", "track", "lastcrawltime", "updatetime",
-      "selected_at", "seq").map(col)
+      "selected_at", "seq")
+  private lazy val taskCols = {
+    import org.apache.spark.sql.functions.col
+    taskColNames.map(col)
   }
 
   /** Both bucket tables in ONE write (a `kind` discriminator column) —

@@ -454,7 +454,8 @@ class EngineKnobsSpec extends AnyFunSuite {
       val eng = new CrawlEngine(spark.createDataset(pages),
         engine.EngineConfig(
           projects = Seq(ProjectSpec(unbounded("cow"), seeds = Seq(urls.head))),
-          checkpointDir = ckpt, liveBuckets = buckets, cowMinLive = 1L))
+          checkpointDir = ckpt, liveBuckets = buckets, cowMinLive = 1L,
+          morOverlayMax = 0L)) // this test pins the bucket-COW path
       eng.crawl(Nil, maxRounds = 16)
       eng
     }
