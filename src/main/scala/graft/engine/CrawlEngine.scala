@@ -515,14 +515,23 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     // then O3 due / O2 priority / O5-O7 budgets
     val __planT0 = System.nanoTime()
     val requeued = Frontier.reactivateTimeouts(live0, now, timeouts, maxTimeout)
-    // full (non-pruned) rounds cache the frontier: selection + merge share it
-    val live = if (cowPlausible) requeued else hook(requeued)
+    // full (non-pruned) rounds cache the frontier: selection + merge share
+    // it. Pruned rounds STREAM it instead — a politeness-bounded MOR round
+    // would otherwise persist the whole frontier into the block store
+    // (O(|live|) memory/disk residency, impossible at 10^10 rows) to save
+    // two extra columnar scans whose outputs are already bounded: the
+    // narrow rank frame is cached separately (persistHook), and the
+    // key-fetch / merge semi-joins stream the pruned parquet scan map-side.
+    val streamLive = cowPlausible ||
+      (morPlausible && politenessBound <= cfg.broadcastFetchMax)
+    val live = if (streamLive) requeued else hook(requeued)
     val dueNow = onlyActive(Frontier.due(live, now)) // O15: frozen projects skipped
     val selected = hook(Frontier.select(dueNow.toDF(), configs,
       headCfg.hostRate, headCfg.hostBurst, globalLoopLimit,
       dt, hostTok, projTok,
       dueBound = prevLiveRows.getOrElse(Long.MaxValue),
-      broadcastKeys = bcastFetch).as[Task])
+      broadcastKeys = bcastFetch,
+      persistHook = df => hook(df)).as[Task])
 
     val fetchedRaw = fetcher.fetch(selected, hook(_), bcastFetch)
     val fetched = if (saveHtmlProjects.nonEmpty) hook(fetchedRaw) else fetchedRaw

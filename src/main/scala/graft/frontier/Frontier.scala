@@ -50,11 +50,28 @@ object Frontier {
         col("project")),
       lit(default))
 
+  /** Coarse grid for the due pre-filter literal: the literal changes only
+    * once per `dueQuantumSec / roundDt` rounds (~137 at dt=30), so the
+    * codegen cache stays hot between grid crossings. */
+  val dueQuantumSec = 4096.0
+
   /** O3 — due filter (task_queue.py:114-159): rows whose exetime has come.
-    * Not-due rows simply stay in the frontier untouched. */
-  def due(live: Dataset[Task], now: Double): Dataset[Task] =
+    * Not-due rows simply stay in the frontier untouched.
+    *
+    * TWO conjuncts with the same semantics, each doing the job the other
+    * can't: `dynLit(now)` is exact but — being a UDF — never reaches the
+    * parquet reader; a FOLDABLE literal `now` rounded UP to the dueQuantum
+    * grid is a superset bound that DOES push down (nested-column row-group
+    * stats), so a steady-state frontier whose recrawl tail is exetime-sorted
+    * at materialization (SnapshotStore) skips the not-yet-due row groups
+    * entirely — the due scan reads O(due), not O(|live|). `status` is a
+    * literal comparison and prunes the same way. */
+  def due(live: Dataset[Task], now: Double): Dataset[Task] = {
+    val coarse = math.ceil(now / dueQuantumSec) * dueQuantumSec // ≥ now
     live.filter(col("status") === Status.Active &&
+      col("schedule.exetime") <= lit(coarse) &&
       col("schedule.exetime") <= dynLit(now))
+  }
 
   /** O4 — processing-timeout requeue (task_queue.py:119,161-171): selected
     * rows that never reported a status within `timeout` go back to ACTIVE
@@ -122,7 +139,8 @@ object Frontier {
              hostRate: Double, hostBurst: Double, globalLoopLimit: Int,
              dt: Double, hostTokens: DataFrame, projTokens: DataFrame,
              dueBound: Long = Long.MaxValue,
-             broadcastKeys: Boolean = true): DataFrame = {
+             broadcastKeys: Boolean = true,
+             persistHook: DataFrame => DataFrame = identity): DataFrame = {
     // RANK SEMANTICS (documented restatement, SURVEY §2 O1/O6/O7; replayed
     // literally by OrderingParitySpec's heap simulator): the host rank and
     // the project rank of a due row are each its position in the documented
@@ -174,11 +192,23 @@ object Frontier {
     val perProjectCap =
       greatest(lit(1L), floor(pp(_.loopLimit, d.loopLimit) / 10))
 
-    val nOrder = Seq(col("eff_priority").desc, col("schedule.exetime").asc,
+    // NARROW legs (r3 scale fix, kept from r2): the rank legs are the
+    // round's only remaining O(|due|) scans — carrying the full 40-field
+    // nested Task through them decodes ~1 KB/row where the ordering +
+    // budget keys need ~60 B/row, and with TWO independent legs the due
+    // set is scanned twice. Rank on a narrow projection (parquet column
+    // pruning pushes through the MOR overlay / COW manifest read straight
+    // into the scan), then fetch the selected rows by key at the end — one
+    // bounded-output semi-join against the full-width due scan.
+    // The narrow frame is persistHook'ed (the engine passes a per-round
+    // cache): BOTH legs then share ONE scan of the due set instead of two.
+    val nOrder = Seq(col("eff_priority").desc, col("__exe").asc,
       col("seq").asc, col("taskid").asc)
-    val base = dueTasks.withColumn("eff_priority",
+    val base = persistHook(dueTasks.select(
+      col("project"), col("taskid"), col("host"),
+      col("schedule.exetime").as("__exe"), col("seq"),
       when(pDepthLimit =!= -1, -col("depth"))
-        .otherwise(col("schedule.priority")))
+        .otherwise(col("schedule.priority")).as("eff_priority")))
     val baseCols = base.columns.toSeq
 
     // SKEW DEFUSE + SHUFFLE KILL (SURVEY §4): a plain rank window
@@ -257,8 +287,11 @@ object Frontier {
     val capped =
       if (globalLoopLimit.toLong >= Int.MaxValue / 2) budgeted
       else budgeted.orderBy(nOrder: _*).limit(globalLoopLimit)
-    // restore the input column set (helper columns ride along until here)
-    capped.select(dueTasks.columns.toSeq.map(col): _*)
+    // key-fetch join: bounded keys broadcast (production shape) or
+    // SHUFFLE_HASH (no driver collect) — the due scan never full-shuffles
+    val keys0 = capped.select("project", "taskid")
+    val keys = if (broadcastKeys) broadcast(keys0) else keys0.hint("SHUFFLE_HASH")
+    dueTasks.join(keys, Seq("project", "taskid"), "left_semi")
   }
 
   /** Post-selection token consumption: the carry for the next round.

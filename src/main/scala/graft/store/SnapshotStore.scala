@@ -47,8 +47,22 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
 
   def lastCommitted(): Option[Long] = committedRounds().lastOption
 
+  /** Materializations are LOCALLY SORTED by (status, schedule.exetime) so
+    * the due scan's pushed predicates (Frontier.due) can skip whole row
+    * groups: in a steady-state frontier the not-yet-due recrawl tail — the
+    * bulk of a 10^10-row frontier — clusters into row groups whose
+    * min(exetime) stats exceed the quantized `now`, and the scan never
+    * touches them (Iceberg's sort-order analog). A local sort at
+    * materialization cadence only; per-round MOR deltas stay unsorted. */
+  private def dueSorted(live: DataFrame, prefix: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    live.sortWithinPartitions(
+      (prefix.map(col) :+ col("status") :+ col("schedule.exetime")): _*)
+  }
+
   def writeLive(n: Long, live: Dataset[Task]): Unit =
-    live.write.mode(SaveMode.Overwrite).parquet(s"${roundDir(n)}/live")
+    dueSorted(live.toDF(), Nil)
+      .write.mode(SaveMode.Overwrite).parquet(s"${roundDir(n)}/live")
 
   /** Zero-delta round: round `n`'s live frontier IS round `ref`'s — record a
     * reference marker instead of rewriting the whole snapshot (Iceberg's
@@ -128,7 +142,11 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
   def writeLiveBucketed(n: Long, live: DataFrame, changed: Option[Set[Int]],
                         nBuckets: Int): Long = {
     val dir = s"${roundDir(n)}/live"
-    live.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(dir)
+    // __bucket leads the sort: satisfies the writer's partition-column
+    // ordering requirement (no second sort) and keeps each bucket's file
+    // exetime-clustered for the due scan's row-group pruning
+    dueSorted(live, Seq("__bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(dir)
     val m = changed match {
       case None =>
         (0 until nBuckets).map { b =>

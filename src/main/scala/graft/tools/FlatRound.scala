@@ -24,6 +24,12 @@ object FlatRound {
     val kSmall = if (args.length > 1) args(1).toLong else 1_000_000L
     val mult = if (args.length > 2) args(2).toInt else 10
     val rounds = if (args.length > 3) args(3).toInt else 6
+    // fraction of the frontier that is DUE; the rest is a far-future recrawl
+    // tail (steady-state shape: most of a 10^10-row frontier is waiting on
+    // age/auto_recrawl timers, not due now). With exetime-sorted
+    // materialization + the quantized due pre-filter, round cost must track
+    // the DUE count, not |live|.
+    val dueFrac = if (args.length > 4) args(4).toDouble else 1.0
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-flat-round")
@@ -41,7 +47,7 @@ object FlatRound {
     val corpus = CorpusGen.generate(spark, 20_000L, 16, 42L, 4).cache()
     corpus.count()
 
-    def measure(k: Long): (Double, Seq[Double]) = {
+    def build(k: Long): (CrawlEngine, String) = {
       val ckpt = java.nio.file.Files
         .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft_flat")
         .toString
@@ -49,6 +55,7 @@ object FlatRound {
       val B = 32
       // synthetic ACTIVE frontier: K rows over 64 hosts; urls mostly miss
       // the corpus (normalized 599s) — fetch cost is round-bounded either way
+      val nDue = math.max(1L, (k * dueFrac).toLong)
       val live = spark.range(k).select(
         md5(concat(lit("u"), col("id"))).as("taskid"),
         lit("flat").as("project"),
@@ -56,8 +63,11 @@ object FlatRound {
           lit(".example/p"), col("id")).as("url"),
         lit(Status.Active).as("status"),
         concat(lit("site"), pmod(col("id"), lit(64)), lit(".example")).as("host"),
-        lit(0).as("depth"))
-        .withColumn("schedule", typedLit(Schedule()))
+        lit(0).as("depth"), col("id"))
+        .withColumn("schedule",
+          when(col("id") < nDue, typedLit(Schedule()))
+            .otherwise(typedLit(Schedule(exetime = 1e12))))
+        .drop("id")
         .withColumn("fetch", typedLit(graft.model.FetchOpts()))
         .withColumn("process", typedLit(graft.model.ProcessOpts(callback = "bfs_page")))
         .withColumn("track", typedLit(graft.model.Track()))
@@ -83,28 +93,43 @@ object FlatRound {
         case c: graft.fetch.CorpusFetcher => c.warm()
         case _ =>
       }
-      val walls = (1 to rounds).map { n =>
-        val t0 = System.nanoTime()
-        val st = engine.runRound(n)
-        val w = (System.nanoTime() - t0) / 1e9
-        println(f"  live=$k%9d round $n%2d selected=${st.selected}%6d wall=$w%6.2fs")
-        w
-      }
-      // drop the two warm-up rounds (codegen priming, bloom init)
-      val steady = walls.drop(2)
-      def rmRf(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
-        f.delete()
-      }
-      rmRf(new java.io.File(ckpt))
-      (steady.sum / steady.size, walls)
+      (engine, ckpt)
     }
 
-    val (wSmall, _) = measure(kSmall)
-    val (wBig, _) = measure(kSmall * mult)
+    // INTERLEAVED measurement: the host is shared and its throughput drifts
+    // ±30 % between runs — measuring the two sizes back-to-back confounds
+    // |live| with drift (three same-code sequential runs spread 1.0-1.8×).
+    // Alternating small/big rounds puts each pair under ~the same host
+    // state; the reported ratio is the MEDIAN of per-round-pair ratios.
+    val (eSmall, ckptS) = build(kSmall)
+    val (eBig, ckptB) = build(kSmall * mult)
+    def one(e: CrawlEngine, k: Long, n: Int): Double = {
+      val t0 = System.nanoTime()
+      val st = e.runRound(n)
+      val w = (System.nanoTime() - t0) / 1e9
+      println(f"  live=$k%9d round $n%2d selected=${st.selected}%6d wall=$w%6.2fs")
+      w
+    }
+    val pairs = (1 to rounds).map { n =>
+      (one(eSmall, kSmall, n), one(eBig, kSmall * mult, n))
+    }
+    // drop the two warm-up round-pairs (codegen priming, bloom init)
+    val steady = pairs.drop(2)
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
+      f.delete()
+    }
+    rmRf(new java.io.File(ckptS)); rmRf(new java.io.File(ckptB))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    val wSmall = median(steady.map(_._1))
+    val wBig = median(steady.map(_._2))
+    val ratio = median(steady.map(p => p._2 / p._1))
     println(f"""{"live_small":$kSmall,"live_big":${kSmall * mult},""" +
+      f""""due_frac":$dueFrac%.4f,""" +
       f""""round_sec_small":$wSmall%.3f,"round_sec_big":$wBig%.3f,""" +
-      f""""cost_ratio_10x":${wBig / wSmall}%.3f}""")
+      f""""cost_ratio_10x":$ratio%.3f}""")
     spark.stop()
   }
 }

@@ -502,6 +502,37 @@ class EngineKnobsSpec extends AnyFunSuite {
     assert(seen === Set(list, d1, d2))
   }
 
+  test("P5 page.json: API handler parses a JSON listing and follows item urls") {
+    // reference mySpider/ API-spider pattern over Response.json
+    // (pyspider/libs/response.py:136-145): listing JSON → follow item urls →
+    // item JSON → typed result fields
+    val listUrl = "http://api.example/list"
+    val item1 = "http://api.example/item/1"
+    val item2 = "http://api.example/item/2"
+    def jsonPage(url: String, body: String): Page =
+      Page(url, new Timestamp(1000L), body.getBytes("utf-8"), body, "en")
+    val pages = Seq(
+      jsonPage(listUrl, s"""{"items": [{"url": "$item1"}, {"url": "$item2"}]}"""),
+      jsonPage(item1, """{"id": 1, "name": "first"}"""),
+      jsonPage(item2, """{"id": 2, "name": "second"}"""),
+      robots("api.example"))
+    val eng = mkEngine(pages, Seq(ProjectSpec(unbounded("api"),
+      seeds = Seq(listUrl), seedCallback = "json_list")))
+    eng.crawl(Nil, maxRounds = 4)
+    val res = eng.resultsDF().collect()
+    val items = res.filter(_.getAs[String]("url").startsWith("http://api.example/item/"))
+    assert(items.length === 2)
+    val byUrl = items.map(r => r.getAs[String]("url") -> r.getAs[String]("result")).toMap
+    assert(byUrl(item1).contains("\"id\": 1") && byUrl(item1).contains("\"name\": \"first\""))
+    assert(byUrl(item2).contains("\"id\": 2") && byUrl(item2).contains("\"name\": \"second\""))
+    // the listing callback emits follows only — no result row of its own
+    assert(!res.exists(_.getAs[String]("url") == listUrl))
+    // the accessor itself is lazy and re-entrant (same parsed tree object)
+    val p = FetchedPage(item1, 200, Array.emptyByteArray, "utf-8",
+      """{"a": [1, 2, 3]}""", null, 0L, null)
+    assert((p.json eq p.json) && p.json.path("a").size() === 3)
+  }
+
   test("F5 deterministic UA pick is stable and spread") {
     import graft.functions.UaPool
     val urls = (0 until 64).map(i => s"http://site$i.example/p/$i")

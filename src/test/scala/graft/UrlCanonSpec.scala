@@ -95,6 +95,38 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(urljoin("http://e.com/a/b?q=1", "") === "http://e.com/a/b?q=1")
   }
 
+  test("E11 curl_to_arguments parity (libs/url.py:161-213)") {
+    import graft.url.CurlParse
+    // the reference docstring's own example shape: Copy-as-cURL line
+    val args = CurlParse.toArguments(
+      """curl 'http://example.com/api?x=1' -X POST -H 'Accept: application/json' """ +
+        """-H "Cookie: a=1; b=2" --data-binary $'{"k":"v"}' --compressed""")
+    assert(args.urls === Seq("http://example.com/api?x=1"))
+    assert(args.method === Some("POST"))
+    assert(args.headers("Accept") === "application/json")
+    assert(args.cookies === Some("a=1; b=2"))
+    assert(args.data === Some("""{"k":"v"}""")) // leading '$' stripped
+    assert(args.useGzip)
+    assert(args.fetchOpts.method === "POST")
+    assert(args.fetchOpts.cookies === "a=1; b=2")
+    // -d sets data; default method stays GET unless -X given (reference
+    // passes kwargs through; fetchOpts infers POST for data like curl does)
+    val d = CurlParse.toArguments("curl http://e.com -d 'a=b&c=d'")
+    assert(d.data === Some("a=b&c=d") && d.method.isEmpty)
+    assert(d.fetchOpts.method === "POST")
+    // multiple urls accumulate; flags between them are fine
+    assert(CurlParse.toArguments("curl http://a.com http://b.com").urls.size === 2)
+    // error parity: no url / unknown option / dangling option
+    intercept[IllegalArgumentException](CurlParse.toArguments("curl -X POST"))
+    intercept[IllegalArgumentException](
+      CurlParse.toArguments("curl http://e.com --bogus v"))
+    intercept[IllegalArgumentException](
+      CurlParse.toArguments("curl http://e.com -H"))
+    // shlex parity: quotes + escapes
+    assert(CurlParse.shellSplit("""a 'b c' "d \" e" f\ g""") ===
+      Seq("a", "b c", """d " e""", "f g"))
+  }
+
   test("property: canonicalization is idempotent (scalacheck)") {
     import org.scalacheck.{Gen, Prop, Test => ScTest}
     val gen = Gen.oneOf(
