@@ -26,7 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "10g")}",
   // measured (tools.RoundProfile): at local[32] G1's incremental heap growth
   // burns 2x+ wall in kernel page-fault churn on the allocation-heavy crawl
   // rounds; Parallel GC + big pre-sized young gen + THP keep it flat

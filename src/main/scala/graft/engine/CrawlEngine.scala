@@ -70,6 +70,12 @@ case class EngineConfig(
     // Size it to the broadcast budget: overlay rows × ~60 B must fit the
     // driver/executor broadcast comfort zone.
     morOverlayMax: Long = 1_000_000L,
+    // frontier block-cache budget (rows): a round whose previous live count
+    // fits shares ONE cached scan between selection and merge (fastest at
+    // bench scale); past it the frontier is STREAMED — pruned columnar
+    // scans with bounded outputs, zero block-store residency (the only
+    // shape possible at 10^10 rows). 0 = always stream on MOR rounds.
+    liveCacheMaxRows: Long = 10_000_000L,
     // non-null: the fetcher materializes its url-unique corpus view ONCE as
     // a url-bucketed, url-sorted parquet table under this dir (the 100-TB
     // shape — per-round fetch joins reuse the bucketing with zero corpus
@@ -166,6 +172,10 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     *    holds only the post-compaction DELTA (bounded by compactEvery
     *    rounds) — driver memory stays O(1) at a 10^10-key archive
     *    (VERDICT r2 missing item 2: the silent no-bloom fallback). */
+  /** Diagnostics: rounds whose MOR merge leg ran bucket-pruned (tests assert
+    * the pruned path actually engaged; FlatRound logs it). */
+  var prunedMergeRounds: Long = 0L
+
   private var seenBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
   private var bucketBlooms: Option[(String, Int)] = None
   private def seenProbe: Option[SeenSet.Probe] = bucketBlooms match {
@@ -523,7 +533,8 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     // narrow rank frame is cached separately (persistHook), and the
     // key-fetch / merge semi-joins stream the pruned parquet scan map-side.
     val streamLive = cowPlausible ||
-      (morPlausible && politenessBound <= cfg.broadcastFetchMax)
+      (morPlausible && politenessBound <= cfg.broadcastFetchMax &&
+        prevLiveRows.forall(_ > cfg.liveCacheMaxRows))
     val live = if (streamLive) requeued else hook(requeued)
     val dueNow = onlyActive(Frontier.due(live, now)) // O15: frozen projects skipped
     val selected = hook(Frontier.select(dueNow.toDF(), configs,
@@ -661,10 +672,30 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
       // full frontier (cached — selection + merge share it)
       val liveForMerge: Dataset[Task] =
         if (morRound) {
-          val semiKeys = broadcast(
-            selected.select(col("project"), col("taskid"))
-              .union(candidates0.select(col("project"), col("taskid"))))
-          hook(live.join(semiKeys, Seq("project", "taskid"), "left_semi").as[Task])
+          val keysDF = selected.select(col("project"), col("taskid"))
+            .union(candidates0.select(col("project"), col("taskid")))
+          val semiKeys = broadcast(keysDF)
+          // bucket-DPP analog: the touched keys' buckets are a bounded,
+          // driver-known set — when it's a minority of the bucket count,
+          // probe ONLY those buckets of the base snapshot (+ deltas
+          // filtered to them) instead of scanning the whole frontier for a
+          // bounded semi-join output. Exact because bucket = f(taskid);
+          // the requeue pass is provably a no-op here (morPlausible
+          // requires zero PROCESSING rows), so reading the store directly
+          // loses nothing. At 10^10 rows with B=64k a 2k-key round reads
+          // ~3% of the frontier; the fallback is the streaming full scan.
+          val prunedSrc: Option[Dataset[Task]] =
+            if (B <= 0) None
+            else {
+              val bks = timed("mor.buckets")(
+                keysDF.select(store.bucketCol(B).as("b")).distinct()
+                  .collect().map(_.getInt(0)).toSet)
+              if (bks.size * 2 >= B) None
+              else store.readLivePruned(n - 1, bks, B)
+            }
+          if (prunedSrc.isDefined) prunedMergeRounds += 1
+          val src = prunedSrc.getOrElse(live)
+          hook(src.join(semiKeys, Seq("project", "taskid"), "left_semi").as[Task])
         } else changedBuckets match {
           case Some(bks) => store.readLiveBuckets(n - 1, bks)
           case None => if (cowPlausible) hook(live) else live

@@ -13,6 +13,29 @@ import Q.{frontier, table, FRONTIER_SQL}
   * SQL-expressible (FIXTURES.md §6 vectors). */
 object UrlQueries {
 
+  /** E11 — run the REAL CurlParse on a synthesized `curl` line; flattened
+    * for the oracle (headers rendered "k=v" sorted, ';'-joined). `method`
+    * goes through fetchOpts so the data-implies-POST default is gated too. */
+  private case class CurlOut(purl: String, method: String, data: String,
+      hdr: String, gz: Boolean)
+  private val curlUdf = udf((line: String) => {
+    val a = graft.url.CurlParse.toArguments(line)
+    CurlOut(a.urls.head, a.fetchOpts.method, a.data.orNull,
+      a.headers.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString(";"),
+      a.useGzip)
+  })
+
+  /** P5 — the REAL FetchedPage.json accessor (Response.json analog). */
+  private case class JsonOut(id: Long, name: String, item0: String, n_items: Int)
+  private val pageJsonUdf = udf((body: String) => {
+    val p = graft.process.FetchedPage("http://x", 200, Array.emptyByteArray,
+      "utf-8", body, "", 0L, null)
+    val j = p.json
+    JsonOut(j.path("id").asLong(), j.path("name").asText(),
+      j.path("items").get(0).path("url").asText(), j.path("items").size())
+  })
+
   private val canonUdf = udf((s: String) => UrlCanon.canonicalize(s))
   private val mainDomainUdf = udf((s: String) => UrlCanon.mainDomain(s))
   private val addSchemeUdf = udf((s: String) => UrlCanon.addHttpIfNoScheme(s))
@@ -193,6 +216,55 @@ object UrlQueries {
          | FROM frontier""".stripMargin)(
       (s, dir) => frontier(s, dir).select(col("doc_id"),
         urljoinUdf(col("url"), lit("../p/x")).as("joined"))),
+
+    // E11 — curl_to_arguments (url.py:161-213): three branch shapes cover
+    // single-quoted words, double-quoted words with \" escapes, bare words,
+    // -X/-H/-d/--data-binary ($ strip)/--compressed, and the
+    // data-implies-POST method default
+    Q("e11_curl_parse",
+      s"""$FRONTIER_SQL SELECT doc_id, url AS purl,
+         | CASE WHEN doc_id % 3 = 2 THEN 'GET' ELSE 'POST' END AS method,
+         | CASE WHEN doc_id % 3 = 2 THEN NULL
+         |   ELSE 'q=' || CAST(doc_id AS VARCHAR) END AS data,
+         | CASE WHEN doc_id % 3 = 0
+         |     THEN 'X-Doc=' || CAST(doc_id AS VARCHAR) || ' v;X-Q=a"b'
+         |   WHEN doc_id % 3 = 1 THEN 'Cookie=sid=' || CAST(doc_id AS VARCHAR)
+         |   ELSE '' END AS hdr,
+         | (doc_id % 3 = 0) AS gz FROM frontier""".stripMargin)(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val line =
+          when(col("doc_id") % 3 === 0, concat(
+            lit("curl '"), col("url"), lit("' -X POST -H 'X-Doc: "), id,
+            lit(" v' -H \"X-Q: a\\\"b\" --data-binary '$q="), id,
+            lit("' --compressed")))
+          .when(col("doc_id") % 3 === 1, concat(
+            lit("curl -H 'Cookie: sid="), id, lit("' -d q="), id,
+            lit(" "), col("url")))
+          .otherwise(concat(lit("curl "), col("url")))
+        frontier(s, dir).select(col("doc_id"), curlUdf(line).as("o"))
+          .select(col("doc_id"), col("o.purl").as("purl"),
+            col("o.method").as("method"), col("o.data").as("data"),
+            col("o.hdr").as("hdr"), col("o.gz").as("gz"))
+      }),
+
+    // P5 — page.json accessor (libs/response.py:136-145): the real
+    // FetchedPage lazy-parses a synthesized API body; field/array access
+    // round-trips against the construction
+    Q("p5_page_json",
+      """SELECT doc_id, doc_id AS id, lang AS name,
+        | 'http://a.example/' || CAST(doc_id AS VARCHAR) AS item0,
+        | CAST(2 AS INTEGER) AS n_items FROM documents""".stripMargin)(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val body = concat(
+          lit("{\"id\": "), id, lit(", \"name\": \""), col("lang"),
+          lit("\", \"items\": [{\"url\": \"http://a.example/"), id,
+          lit("\"}, {\"url\": \"http://b.example/"), id, lit("\"}]}"))
+        table(s, dir, "documents").select(col("doc_id"), pageJsonUdf(body).as("o"))
+          .select(col("doc_id"), col("o.id").as("id"), col("o.name").as("name"),
+            col("o.item0").as("item0"), col("o.n_items").as("n_items"))
+      }),
 
     // F5 — deterministic UA rotation (tornado_fetcher.py:60-101,274-294):
     // pick index = first md5 byte mod pool size, identical in the Scala row

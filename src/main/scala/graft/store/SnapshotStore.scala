@@ -283,27 +283,38 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     * overlaid, latest round wins per (project, taskid). The overlay side is
     * bounded (see writeLiveDelta) and BROADCAST — the base is never
     * shuffled or rewritten. */
-  private def readLiveViaDeltas(n: Long, base: Long): Dataset[Task] = {
+  private def readLiveViaDeltas(n: Long, base: Long,
+      pruneTo: Option[(Set[Int], Int)] = None): Dataset[Task] = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, max, struct}
     val rounds = ((base + 1) to n)
       .filter(r => fs.exists(new Path(s"${liveDeltaDir(r)}/up")))
     val upDirs = rounds.map(r => s"${liveDeltaDir(r)}/up")
     val delDirs = rounds.map(r => s"${liveDeltaDir(r)}/del")
       .filter(d => fs.exists(new Path(d)))
+    // bucket pruning: membership is a pure function of taskid, so dropping
+    // rows outside the bucket set — on BOTH the base and the (bounded)
+    // delta overlay — is exact for any key that hashes into the set
+    val prune: DataFrame => DataFrame = pruneTo match {
+      case Some((bks, nb)) => df => df.filter(bucketCol(nb).isin(bks.toSeq: _*))
+      case None => identity
+    }
     val taskSchema = org.apache.spark.sql.Encoders.product[Task].schema
-    val ups = spark.read.parquet(upDirs: _*)
+    val ups = prune(spark.read.parquet(upDirs: _*))
       .select((taskCols :+ col("__dround")): _*)
       .select(col("project"), col("taskid"), col("__dround"),
         lit(true).as("__keep"), struct(taskCols: _*).as("__row"))
     val dels =
       if (delDirs.isEmpty) None
-      else Some(spark.read.parquet(delDirs: _*)
+      else Some(prune(spark.read.parquet(delDirs: _*))
         .select(col("project"), col("taskid"), col("__dround"),
           lit(false).as("__keep"), lit(null).cast(taskSchema).as("__row")))
     val overlay = dels.fold(ups)(ups.union(_))
       .groupBy("project", "taskid")
       .agg(max(struct(col("__dround"), col("__keep"), col("__row"))).as("w"))
-    val baseLive = readLive(base).toDF()
+    val baseLive = pruneTo match {
+      case Some((bks, _)) => readLiveBuckets(base, bks).toDF()
+      case None => readLive(base).toDF()
+    }
     baseLive
       .join(broadcast(overlay.select("project", "taskid")),
         Seq("project", "taskid"), "left_anti")
@@ -326,6 +337,37 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
       .filter(p => fs.exists(new Path(p)))
     if (paths.isEmpty) spark.emptyDataset[Task]
     else spark.read.parquet(paths: _*).select(taskCols: _*).as[Task]
+  }
+
+  /** Bucket-pruned live read that also works mid-delta-chain: reads ONLY
+    * `buckets` of the nearest materialized bucketed snapshot and overlays
+    * the bounded delta chain filtered to those buckets. EXACT for any probe
+    * keyed into `buckets` (bucket = f(taskid)). None when the underlying
+    * materialization isn't bucketed under `nBuckets` — caller falls back to
+    * the full read. This is what keeps a politeness-bounded MOR round's
+    * merge leg at O(touched buckets) instead of one full frontier scan at
+    * 10^10 rows. */
+  def readLivePruned(n: Long, buckets: Set[Int],
+                     nBuckets: Int): Option[Dataset[Task]] = {
+    if (readLiveManifest(n).exists(_.size == nBuckets))
+      Some(readLiveBuckets(n, buckets))
+    else liveDeltaInfo(n) match {
+      case Some((base, _)) if readLiveManifest(base).exists(_.size == nBuckets) =>
+        Some(readLiveViaDeltas(n, base, Some((buckets, nBuckets))))
+      case Some(_) => None
+      case None =>
+        // quiet round: follow the ref TARGET (may itself be a delta round
+        // whose overlay still applies — resolveLiveBase would skip it)
+        val refP = new Path(s"${roundDir(n)}/live_ref")
+        if (!fs.exists(refP)) None
+        else {
+          val in = fs.open(refP)
+          val bytes = new Array[Byte](fs.getFileStatus(refP).getLen.toInt)
+          in.readFully(bytes); in.close()
+          val ref = new String(bytes, "UTF-8").trim.toLong
+          if (ref == n) None else readLivePruned(ref, buckets, nBuckets)
+        }
+    }
   }
 
   def readLive(n: Long): Dataset[Task] = {

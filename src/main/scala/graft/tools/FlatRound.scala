@@ -87,7 +87,10 @@ object FlatRound {
           hostRate = 32.0 / 30.0, hostBurst = 32.0,
           loopLimit = Int.MaxValue / 2, depthLimit = -1),
         seedCallback = "bfs_page", roundDt = 30.0, checkpointDir = ckpt,
-        cowMinLive = 1000L))
+        cowMinLive = 1000L,
+        // measure the 10^10-frontier shape: never block-cache the frontier —
+        // rounds run on streamed, pruned columnar scans only
+        liveCacheMaxRows = 0L))
       engine.robotsRules.count()
       engine.fetcher match {
         case c: graft.fetch.CorpusFetcher => c.warm()
