@@ -132,6 +132,14 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
   private val anyRobots = configs.exists(_.respectRobots)
   private val inqueueLimits: Map[String, Any] = // O9; only bounded projects
     configs.filter(_.inqueueLimit > 0).map(c => c.name -> c.inqueueLimit).toMap
+  /** O9 bookkeeping — per-project |live| as of the last committed round,
+    * maintained incrementally across MOR rounds (live(n) = live(n−1) −
+    * touched + upserts, the per-project twin of the manifest's live-total
+    * arithmetic) so the pending check never rescans the frontier in steady
+    * state. None = unknown (fresh resume, or after a rewrite round): the
+    * next O9 round re-seeds it with one narrow project-column scan. Only
+    * maintained when an inqueue limit is configured. */
+  private var pendLiveCounts: Option[Map[String, Long]] = None
   private val followFilters: Map[String, (Set[String], String)] = configs // P7
     .filter(c => c.allowDomains.nonEmpty || c.denyPattern != null)
     .map(c => c.name -> (c.allowDomains.toSet, c.denyPattern)).toMap
@@ -175,6 +183,9 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
   /** Diagnostics: rounds whose MOR merge leg ran bucket-pruned (tests assert
     * the pruned path actually engaged; FlatRound logs it). */
   var prunedMergeRounds: Long = 0L
+  /** Diagnostics: O9 full-frontier pending scans — the carry keeps this at
+    * ONE per seed/invalidation across MOR rounds (tests assert it). */
+  var o9PendScans: Long = 0L
 
   private var seenBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
   private var bucketBlooms: Option[(String, Int)] = None
@@ -446,6 +457,7 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     val n = store.lastCommitted().getOrElse(
       throw new IllegalStateException("nothing committed yet"))
     store.purgeProject(n, project)
+    pendLiveCounts = pendLiveCounts.map(_ - project) // O9 carry: now 0 rows
   }
 
   private val phaseLog = sys.env.contains("GRAFT_PHASE_LOG")
@@ -598,6 +610,13 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     // operator control rows for this round (O14 restart-by-status)
     val haveControl = store.hasControl(n)
 
+    // O9 pending-count bookkeeping for this round (set inside buildMergeLeg,
+    // consumed after the commit writes): the per-project base counts the
+    // round started from and the per-project touched-row counts of the MOR
+    // merge leg — both round-bounded collections.
+    var o9Base: Option[Map[String, Long]] = None
+    var o9Touched: Option[Map[String, Long]] = None
+
     // The status/merge legs below are built LAZILY (def): the zero-delta
     // fast path must not even construct them — analyzing + cache-registering
     // the big join plans costs driver seconds, and uncaching the resulting
@@ -724,12 +743,19 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
 
       // O9 pending size per project = |live(n-1)| − |archived this round|
       // (identical to counting the post-status frontier, which the pruned
-      // legs never materialize in full); both sides are measured counts
+      // legs never materialize in full); both sides are measured counts.
+      // |live(n-1)| comes from the incrementally-maintained carry when
+      // available — the full-frontier project scan runs only to (re)seed it
+      // (fresh resume / after a rewrite round), not per round.
       val candidates =
         if (inqueueLimits.isEmpty) candidates0
         else {
-          val pendPrev = live0.groupBy("project").count()
-            .as[(String, Long)].collect().toMap
+          val pendPrev = pendLiveCounts.getOrElse {
+            o9PendScans += 1
+            timed("o9.pendScan")(live0.groupBy("project").count()
+              .as[(String, Long)].collect().toMap)
+          }
+          o9Base = Some(pendPrev)
           val archPerProj = archiveDelta.groupBy("project").count()
             .as[(String, Long)].collect().toMap
           val pend = pendPrev.map { case (p, c) =>
@@ -755,7 +781,17 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
           val delKeys = archiveDelta.select(col("project"), col("taskid"))
             .join(broadcast(newLive.select(col("project"), col("taskid"))),
               Seq("project", "taskid"), "left_anti")
-          Some((delKeys, liveForMerge.count()))
+          // O9 carry needs the touched counts PER PROJECT; same single
+          // action either way (liveForMerge is bounded under MOR)
+          val touchedTotal =
+            if (inqueueLimits.isEmpty) liveForMerge.count()
+            else {
+              val t = liveForMerge.groupBy("project").count()
+                .as[(String, Long)].collect().toMap
+              o9Touched = Some(t)
+              t.values.sum
+            }
+          Some((delKeys, touchedTotal))
         }
       (newLive, archiveAll, results, changedBuckets, morInfo)
     }
@@ -828,10 +864,16 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
         var cowTotal = 0L
         val fLive = Future(timed("writeLive")(morInfo match {
           case Some((delKeys, touchedPrev)) =>
+            // O9 carry: per-project upsert counts ride the SAME observation
+            // (projects are driver-known) — zero extra jobs
+            val upAggs = if (inqueueLimits.isEmpty) Nil else configs.map(c =>
+              sum(when(col("project") === c.name, 1L).otherwise(0L))
+                .as(s"up_${c.name}"))
+            val aggs = Seq(count(lit(1)).as("rows"),
+              sum(when(col("status") === Status.Processing, 1L).otherwise(0L))
+                .as("processing")) ++ upAggs
             val (upRows, _) = store.writeLiveDelta(n,
-              newLive.toDF().observe(liveObs, count(lit(1)).as("rows"),
-                sum(when(col("status") === Status.Processing, 1L).otherwise(0L))
-                  .as("processing")),
+              newLive.toDF().observe(liveObs, aggs.head, aggs.tail: _*),
               delKeys)
             cowTotal = prevLiveRows.get - touchedPrev + upRows
           case None =>
@@ -873,6 +915,23 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
         Await.result(Future.sequence(Seq(fLive, fArch, fRes, fTok) ++ fHtml), Duration.Inf)
         processingRows = Option(liveObs.get("processing"))
           .collect { case l: Long => l }.getOrElse(0L)
+        // O9 carry update: exact per-project arithmetic on MOR rounds (base
+        // − touched + upserts, all round-bounded); any rewrite round
+        // invalidates it — the next O9 round re-seeds with one scan
+        if (inqueueLimits.nonEmpty) {
+          pendLiveCounts =
+            if (morInfo.isDefined)
+              for (base <- o9Base; touched <- o9Touched) yield {
+                val up = configs.map(c => c.name ->
+                  Option(liveObs.get(s"up_${c.name}"))
+                    .collect { case l: Long => l }.getOrElse(0L)).toMap
+                (base.keySet ++ up.keySet).iterator.map { p =>
+                  p -> (base.getOrElse(p, 0L) - touched.getOrElse(p, 0L)
+                        + up.getOrElse(p, 0L))
+                }.toMap
+              }
+            else None
+        }
         val totalLive =
           if (morInfo.isDefined || cfg.liveBuckets > 0) cowTotal
           else liveObs.get("rows").asInstanceOf[Long]

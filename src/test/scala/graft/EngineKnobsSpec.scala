@@ -154,6 +154,35 @@ class EngineKnobsSpec extends AnyFunSuite {
       s"(${gks.filter(fetched.contains)})")
   }
 
+  test("O9 carry: MOR rounds keep exact pending counts without rescans") {
+    // same workload as the O9 drop test, but cowMinLive=1 forces every
+    // round onto the merge-on-read path: the pending counts must come from
+    // the incremental per-project carry (ONE seeding scan total, asserted
+    // via o9PendScans) and the drop semantics must stay exactly the
+    // scan-based ones (3 of 6 grandkids admitted).
+    val kids = (1 to 6).map(i => s"http://a.example/k/$i")
+    val gks = (1 to 6).map(i => s"http://a.example/g/$i")
+    val pages = page("http://a.example/p/0", kids, "t0") +:
+      (kids.zip(gks).map { case (k, g) => page(k, Seq(g), "k") } ++
+        gks.map(g => page(g, Nil, "g"))) :+ robots("a.example")
+    val ckpt = Files.createTempDirectory("graft_o9mor").toString
+    val eng = new CrawlEngine(spark.createDataset(pages), EngineConfig(
+      projects = Seq(ProjectSpec(
+        unbounded("q").copy(inqueueLimit = 3, rate = 1.0 / 30.0, burst = 1.0),
+        seeds = Seq("http://a.example/p/0"))),
+      roundDt = 30.0, checkpointDir = ckpt,
+      cowMinLive = 1L, compactEvery = 0))
+    eng.crawl(Nil, maxRounds = 20)
+    val fetched = frontier.SeenSet.latest(
+        eng.store.readArchive(eng.store.lastCommitted().get))
+      .filter(_.status == Status.Success).collect().map(_.url).toSet
+    assert(kids.forall(fetched.contains))
+    val gDone = gks.count(fetched.contains)
+    assert(gDone === 3, s"expected exactly 3 grandkids admitted, got $gDone")
+    assert(eng.o9PendScans === 1L,
+      s"pending carry did not hold across MOR rounds (${eng.o9PendScans} scans)")
+  }
+
   test("O14 restartByStatus re-injects archived tasks as forced candidates") {
     val urls = (0 to 2).map(i => s"http://a.example/p/$i")
     val pages = urls.zipWithIndex.map { case (u, i) =>
