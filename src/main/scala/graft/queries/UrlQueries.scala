@@ -266,6 +266,90 @@ object UrlQueries {
             col("o.item0").as("item0"), col("o.n_items").as("n_items"))
       }),
 
+    // E12 — format_date relative dates (libs/utils.py:72-143): the real
+    // columnar DateFormat runs on the Spark side over a deterministic ts
+    // spread hitting every branch (seconds/minutes/hours incl. banker's-
+    // rounding halves, yesterday, weekday, month-day, full, the future
+    // whole-day clamp quirk, NULL); the oracle restates the algorithm over
+    // DuckDB's calendar functions (now = 1700000000 = Nov 14 2023 22:13:20
+    // UTC, so local_yesterday.day = 13)
+    Q("e12_format_date",
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 101 = 0 THEN NULL
+        |         WHEN doc_id % 8 = 0 THEN 1700000000 - doc_id % 55
+        |         WHEN doc_id % 8 = 1 THEN 1700000000 - (doc_id % 2950 + 50)
+        |         WHEN doc_id % 8 = 2 THEN 1700000000 - (doc_id % 83400 + 3000)
+        |         WHEN doc_id % 8 = 3 THEN 1700000000 - (doc_id % 80000) - 86400
+        |         WHEN doc_id % 8 = 4 THEN 1700000000 - (doc_id % 259200) - 172800
+        |         WHEN doc_id % 8 = 5 THEN 1700000000 - (doc_id % 28425600) - 432000
+        |         WHEN doc_id % 8 = 6 THEN 1700000000 - (doc_id % 34560000) - 28857600
+        |         ELSE 1700000000 + doc_id % 172900 END AS ts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ts,
+        |    CASE WHEN ts > 1700000000 AND (ts - 1700000000) % 86400 < 60
+        |         THEN 1700000000 ELSE ts END AS tse,
+        |    (ts > 1700000000 AND (ts - 1700000000) % 86400 >= 60) AS isfull
+        |  FROM base),
+        |d AS (
+        |  SELECT doc_id, ts, isfull,
+        |    (1700000000 - tse) // 86400 AS days,
+        |    (1700000000 - tse) % 86400 AS secs,
+        |    make_timestamp(tse * 1000000) AS lt
+        |  FROM c),
+        |e AS (
+        |  SELECT *,
+        |    CAST(hour(lt) AS VARCHAR) || ':' ||
+        |      lpad(CAST(minute(lt) AS VARCHAR), 2, '0') AS tstr,
+        |    strftime(lt, '%b') || ' ' || CAST(day(lt) AS VARCHAR) || ', ' ||
+        |      CAST(year(lt) AS VARCHAR) AS mdy,
+        |    secs // 60 AS m0, secs % 60 AS mr,
+        |    secs // 3600 AS h0, secs % 3600 AS hr
+        |  FROM d)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN ts IS NULL OR ts = 0 THEN '-'
+        |    WHEN isfull THEN mdy || ' at ' || tstr
+        |    WHEN days = 0 AND secs < 50 THEN
+        |      CASE WHEN secs <= 1 THEN '1 second ago'
+        |           ELSE CAST(secs AS VARCHAR) || ' seconds ago' END
+        |    WHEN days = 0 AND secs < 3000 THEN
+        |      CASE WHEN m0 + (CASE WHEN mr > 30 THEN 1 WHEN mr < 30 THEN 0
+        |                           ELSE m0 % 2 END) <= 1 THEN '1 minute ago'
+        |           ELSE CAST(m0 + (CASE WHEN mr > 30 THEN 1 WHEN mr < 30 THEN 0
+        |                                ELSE m0 % 2 END) AS VARCHAR)
+        |                || ' minutes ago' END
+        |    WHEN days = 0 THEN
+        |      CASE WHEN h0 + (CASE WHEN hr > 1800 THEN 1 WHEN hr < 1800 THEN 0
+        |                           ELSE h0 % 2 END) <= 1 THEN '1 hour ago'
+        |           ELSE CAST(h0 + (CASE WHEN hr > 1800 THEN 1 WHEN hr < 1800 THEN 0
+        |                                ELSE h0 % 2 END) AS VARCHAR)
+        |                || ' hours ago' END
+        |    WHEN days = 1 AND day(lt) = 13 THEN 'yesterday at ' || tstr
+        |    WHEN days < 5 THEN strftime(lt, '%A') || ' at ' || tstr
+        |    WHEN days < 334 THEN CAST(month(lt) AS VARCHAR) || '-' ||
+        |      CAST(day(lt) AS VARCHAR) || ' at ' || tstr
+        |    ELSE mdy || ' at ' || tstr
+        |  END AS rel
+        |FROM e""".stripMargin)(
+      (s, dir) => {
+        val NOW = 1700000000L
+        val id = col("doc_id").cast("long")
+        val ts =
+          when(id % 101 === 0, lit(null).cast("long"))
+            .when(id % 8 === 0, lit(NOW) - id % 55)
+            .when(id % 8 === 1, lit(NOW) - (id % 2950 + 50L))
+            .when(id % 8 === 2, lit(NOW) - (id % 83400 + 3000L))
+            .when(id % 8 === 3, lit(NOW) - (id % 80000) - 86400L)
+            .when(id % 8 === 4, lit(NOW) - (id % 259200) - 172800L)
+            .when(id % 8 === 5, lit(NOW) - (id % 28425600L) - 432000L)
+            .when(id % 8 === 6, lit(NOW) - (id % 34560000L) - 28857600L)
+            .otherwise(lit(NOW) + id % 172900)
+        table(s, dir, "documents").select(col("doc_id"),
+          graft.functions.DateFormat.formatDateOrDash(ts, lit(NOW)).as("rel"))
+      }),
+
     // F5 — deterministic UA rotation (tornado_fetcher.py:60-101,274-294):
     // pick index = first md5 byte mod pool size, identical in the Scala row
     // path (UaPool.pick), the column path (this query) and this oracle
