@@ -43,9 +43,14 @@ object CoreQueries {
         val l = table(s, dir, "lineitem")
         val o = table(s, dir, "orders")
         val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-        l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-          .groupBy(o("o_orderkey"))
+        // selective dim filter FIRST: the customer broadcast semi-reduces
+        // orders ~5× before the big fact join, so the lineitem ⋈ orders
+        // shuffle moves a fifth of the rows (Catalyst keeps user join order;
+        // at 100 TB the other order shuffles the full fact×fact width)
+        val oB = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .select(o("o_orderkey"))
+        l.join(oB, l("l_orderkey") === oB("o_orderkey"))
+          .groupBy(oB("o_orderkey"))
           .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast("decimal(18,4)")).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
