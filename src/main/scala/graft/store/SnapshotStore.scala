@@ -142,21 +142,33 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
   def writeLiveBucketed(n: Long, live: DataFrame, changed: Option[Set[Int]],
                         nBuckets: Int): Long = {
     val dir = s"${roundDir(n)}/live"
-    // ONE file per bucket: repartition on __bucket first, then sort within.
-    // The map-side partitionBy alternative (each upstream task emits a file
-    // per bucket it contains, O(tasks × buckets) files) measured 3× slower
-    // to write and 10× slower on the due-filtered read-back at 5M rows
-    // (tools.WriteShape): small-file open/commit overhead dominates the
-    // write, and splitting a bucket's rows across many files destroys the
-    // exetime clustering the due scan's row-group pruning needs. The extra
-    // shuffle moves only the rows being written (changed buckets on COW
-    // rounds; the full set only at materialization cadence — Iceberg's
-    // compaction does the same). __bucket leads the sort to satisfy the
-    // writer's partition-column ordering (no second sort).
-    val toWrite = // GRAFT_LIVE_REPART=false: dev A/B of the map-side layout
-      if (sys.env.get("GRAFT_LIVE_REPART").contains("false")) live
-      else live.repartition(nBuckets,
+    // Write distribution, gated by the file count the layout would produce
+    // (both layouts are bit-parity — MorParity/EngineKnobs COW tests):
+    //  - map-side partitionBy emits one file per (upstream task × bucket it
+    //    contains) — zero extra exchange, the right choice while that
+    //    product is small. Measured on 4×4 multi-JVM clusters: 18.5k vs
+    //    11.4k urls/s against the unconditional shuffle, whose cross-JVM
+    //    serialization of the full frontier dominated materialization
+    //    rounds.
+    //  - above the budget (true scale: 10^4+ tasks × 10^3 buckets would be
+    //    10^7+ small files per materialization), hash-distribute on
+    //    __bucket first — Iceberg's write.distribution-mode=hash for
+    //    exactly this reason. One file per bucket also restores the
+    //    exetime row-group clustering the due scan prunes on, which many
+    //    tiny per-task files dilute (tools.WriteShape: 10× read-back gap
+    //    at 5M rows).
+    // GRAFT_LIVE_REPART=true/false forces either path (dev A/B).
+    val maxFiles = sys.env.getOrElse("GRAFT_LIVE_MAX_FILES", "8192").toLong
+    val mapSideFiles = live.rdd.getNumPartitions.toLong * nBuckets
+    val repart = sys.env.get("GRAFT_LIVE_REPART") match {
+      case Some("true") => true
+      case Some("false") => false
+      case _ => mapSideFiles > maxFiles
+    }
+    val toWrite =
+      if (repart) live.repartition(nBuckets,
         org.apache.spark.sql.functions.col("__bucket"))
+      else live
     dueSorted(toWrite, Seq("__bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(dir)
     val m = changed match {
