@@ -240,27 +240,31 @@ object VectorQueries {
          | FROM j
          | WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.5""".stripMargin)(
       (s, dir) => {
+        // the window caps on NARROW (vec_id, band, bucket) rows, then ONE
+        // vec_id join attaches the quantized vector to the capped survivors
+        // so pairs score in place: no post-pair re-joins of the embeddings
+        // table (two shuffle joins keyed by pair ids), no DISTINCT over
+        // unscored pairs. Cross-band dedup happens on the (bounded,
+        // cap²/2-per-bucket) scored pairs; cosine is a pure pair function
+        // so min == the value.
         val capped = hpBuckets(s, dir)
           .withColumn("rn", row_number().over(
             Window.partitionBy("band", "bucket").orderBy("vec_id")))
           .filter(col("rn") <= 16)
-        val a = capped.select(col("vec_id").as("id_a"), col("band"), col("bucket"))
+          .join(quantized(s, dir).select(col("vec_id"), col("q")), "vec_id")
+        val a = capped.select(col("vec_id").as("id_a"), col("band"),
+          col("bucket"), col("q").as("qa"))
         val b = capped.select(col("vec_id").as("id_b"), col("band").as("band_b"),
-          col("bucket").as("bucket_b"))
-        val pairs = a.join(b, col("band") === col("band_b") &&
+          col("bucket").as("bucket_b"), col("q").as("qb"))
+        a.join(b, col("band") === col("band_b") &&
             col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-        val q = quantized(s, dir)
-        pairs
-          .join(q.select(col("vec_id").as("id_a"), col("q").as("qa")), "id_a")
-          .join(q.select(col("vec_id").as("id_b"), col("q").as("qb")), "id_b")
           .withColumn("dot", dotCol("qa", "qb"))
           .withColumn("na2", dotCol("qa", "qa"))
           .withColumn("nb2", dotCol("qb", "qb"))
           .withColumn("cosine", col("dot").cast("double") /
             (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
           .filter(col("cosine") >= 0.5)
-          .select("id_a", "id_b", "cosine")
+          .groupBy("id_a", "id_b").agg(min("cosine").as("cosine"))
       })
   )
 }
