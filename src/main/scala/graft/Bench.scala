@@ -88,7 +88,9 @@ object Bench {
         hostRate = 1e9, hostBurst = 1e9, loopLimit = Int.MaxValue / 2,
         depthLimit = -1),
       seedCallback = "bfs_page", roundDt = 30.0, checkpointDir = ckpt,
-      useBloom = true))
+      useBloom = true,
+      broadcastFetchMax = // dev A/B knob for the candidate-broadcast gate
+        sys.env.getOrElse("GRAFT_BCAST_MAX", "200000").toLong))
     // one-time costs (robots-rule collect, redirect-stub scan) amortize over
     // a real crawl's lifetime — warm them outside the timed section
     engine.robotsRules.count()

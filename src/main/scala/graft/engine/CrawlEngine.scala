@@ -392,7 +392,7 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
                 fetchTime = 0.0, encoding = "utf-8", contentHash = null,
                 fetchError = null, processOk = r.ok, processTime = 0.0,
                 follows = mFollows.size, exception = r.exception,
-                redirectUrl = null),
+                redirectUrl = null, isMessage = true),
               mFollows,
               if (r.result != null) ResultRow(mTask.taskid, toProj, murl, r.result, now)
               else null)
@@ -623,7 +623,17 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     // never-materialized entries was measured at 18 s per quiet round.
     def buildMergeLeg(): (Dataset[Task], Dataset[Task], Dataset[ResultRow],
                           Option[Set[Int]], Option[(DataFrame, Long)]) = {
-      val packs = processed.select(col("status.*")).as[StatusPack]
+      // P15 message packs are EXCLUDED from the status stream (the
+      // reference's @not_send_status, spider/base_handler.py `_on_message`):
+      // they all share the constant taskid md5('data:,on_message'), so two
+      // messages to one project in a round are DUPLICATE pack keys — the
+      // applyStatus left-outer join would fan out any live row holding that
+      // taskid into duplicate frontier rows (silent corruption). Dropping
+      // them is also the faithful semantics: message dispatch never reports
+      // a status. A REAL crawled `data:,on_message` task still reports via
+      // its own (non-message) pack. One codegen'd boolean — zero shuffle.
+      val packs = processed.select(col("status.*"))
+        .filter(!col("isMessage")).as[StatusPack]
       val followsFlat = applyFollowFilters(
         processed.select(explode(col("follows")).as("__f"))
           .select(col("__f.*")))
@@ -674,8 +684,17 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
       // degenerates — the MOR path above is the production shape; the
       // bucket path still wins when a round's keys cluster (single-host
       // recrawl) or MOR is disabled.
+      // COUPON-COLLECTOR gate first: with ≥ 8·B hash-uniform keys every
+      // bucket is touched w.h.p. (P[a bucket missed] ≤ B·e^-8 < 2%), so
+      // the distinct-buckets job is a guaranteed-wasted extra job+collect
+      // per BFS round — a fixed serial tax that does not shrink with
+      // cluster size (measured as part of the 4N Amdahl residue). A missed
+      // bucket would only cost an extra byte-identical rewrite, never
+      // correctness, so the gate is purely a planning shortcut.
+      val keysUpperBound =
+        selectedCount + followsCount + controlCount + cronCount
       val changedBuckets: Option[Set[Int]] =
-        if (morRound || !cowPlausible) None
+        if (morRound || !cowPlausible || keysUpperBound >= 8L * B) None
         else {
           val bc = store.bucketCol(B)
           val bks = timed("cow.buckets")(
@@ -703,8 +722,15 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
           // requires zero PROCESSING rows), so reading the store directly
           // loses nothing. At 10^10 rows with B=64k a 2k-key round reads
           // ~3% of the frontier; the fallback is the streaming full scan.
+          // same coupon-collector planning gate as changedBuckets below:
+          // ≥ 8·B hash-uniform keys touch every bucket w.h.p., so the
+          // distinct job would only discover the full set — skip straight
+          // to the streaming full scan (the semi-join output is bounded
+          // either way; this is a planning shortcut, not a semantics change)
           val prunedSrc: Option[Dataset[Task]] =
-            if (B <= 0) None
+            if (B <= 0 ||
+                selectedCount + followsCount + controlCount + cronCount >= 8L * B)
+              None
             else {
               val bks = timed("mor.buckets")(
                 keysDF.select(store.bucketCol(B).as("b")).distinct()

@@ -758,4 +758,10 @@ case class StatusPack(
     processTime: Double,
     follows: Int,
     exception: String,
-    redirectUrl: String = null) // F3: final url when the fetch redirected
+    redirectUrl: String = null, // F3: final url when the fetch redirected
+    // P15: true for synthetic `_on_message` dispatch packs. They all share
+    // the constant taskid md5('data:,on_message'), so they must never reach
+    // applyStatus (the reference's @not_send_status): two same-round
+    // messages to one project are duplicate join keys that would fan out a
+    // live row with that taskid into duplicate frontier rows.
+    isMessage: Boolean = false)

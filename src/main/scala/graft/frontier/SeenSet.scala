@@ -75,7 +75,22 @@ object SeenSet {
   private object BucketBloomCache {
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
-    def get(dir: String, bucket: Int): BloomFilter =
+    // only ONE bloom generation (one blooms=N dir) is ever live: each new
+    // compaction rebuilds the set under a new dir and the old dir is
+    // deleted. Evict older generations' entries on first sight of a new dir
+    // — without this, a long crawl leaks buckets × MBs of executor heap per
+    // compaction cadence. The race on `currentDir` is benign (worst case a
+    // concurrent probe reloads one bloom file).
+    @volatile private var currentDir: String = null
+    def get(dir: String, bucket: Int): BloomFilter = {
+      if (dir != currentDir) synchronized {
+        if (dir != currentDir) {
+          val prefix = s"$dir/"
+          val it = cache.keySet.iterator()
+          while (it.hasNext) if (!it.next().startsWith(prefix)) it.remove()
+          currentDir = dir
+        }
+      }
       cache.computeIfAbsent(s"$dir/bucket=$bucket.bloom", { p =>
         // executor-side FS access: default Hadoop conf resolves file:// and
         // hdfs:// defaults; cluster deployments ship core-site via the
@@ -85,6 +100,7 @@ object SeenSet {
         val in = fs.open(path)
         try BloomFilter.readFrom(in) finally in.close()
       })
+    }
   }
 
   /** Split candidate inserts into (definitelyNew, maybeSeen) using the

@@ -697,19 +697,45 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
 
   /** Physically drop tombstoned projects from the append-only logs
     * (results/html/metrics) and clear the tombstones. O(round dirs) — run
-    * at leisure, reads are already correct via the tombstone filter. */
+    * at leisure, reads are already correct via the tombstone filter.
+    * Crash-safe: a `.__vac` staging dir is completed (renamed into place)
+    * on the next vacuum, so the delete→rename window cannot lose a round
+    * dir — finishing the swap is always correct because the staged dir is
+    * the filtered copy of the original. */
   def vacuum(): Unit = {
+    import org.apache.spark.sql.functions.col
+    // recover torn swaps from a previous crashed vacuum FIRST (also when
+    // the tombstone set is now empty — the staged dir is still the one
+    // consistent copy if the original is gone)
+    Seq("results", "html", "metrics").foreach { kind =>
+      val base = new Path(s"$root/$kind")
+      if (fs.exists(base)) fs.listStatus(base).foreach { st =>
+        val name = st.getPath.getName
+        if (name.endsWith(".__vac")) {
+          val target = new Path(base, name.stripSuffix(".__vac"))
+          val staged = fs.exists(new Path(st.getPath, "_SUCCESS"))
+          if (!fs.exists(target)) {
+            // original already deleted → the staged copy is the only one
+            // (and complete: the delete only ever runs after a successful
+            // write); promote it
+            fs.rename(st.getPath, target)
+          } else if (staged) {
+            fs.delete(target, true) // crash between write and delete
+            fs.rename(st.getPath, target)
+          } else {
+            fs.delete(st.getPath, true) // torn write; original intact
+          }
+        }
+      }
+    }
     val dead = deletedProjects()
     if (dead.isEmpty) return
-    import org.apache.spark.sql.functions.col
     Seq("results", "html", "metrics").foreach { kind =>
       committedRounds().map(k => s"$root/$kind/round=$k")
         .filter(d => fs.exists(new Path(d))).foreach { d =>
-          val kept = spark.read.parquet(d)
-            .filter(!col("project").isin(dead.toSeq: _*)).cache()
-          kept.count() // materialize before the overwrite
-          kept.write.mode(SaveMode.Overwrite).parquet(s"$d.__vac")
-          kept.unpersist()
+          spark.read.parquet(d)
+            .filter(!col("project").isin(dead.toSeq: _*))
+            .write.mode(SaveMode.Overwrite).parquet(s"$d.__vac")
           fs.delete(new Path(d), true)
           fs.rename(new Path(s"$d.__vac"), new Path(d))
         }

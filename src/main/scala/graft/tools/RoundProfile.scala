@@ -91,13 +91,20 @@ object RoundProfile {
 
     val t00 = System.nanoTime()
     val corpus = CorpusGen.generate(spark, nPages, nHosts, 42L, branch)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_profile").toString
+    // same checkpoint medium as the bench protocol (tmpfs by default): the
+    // shared virtio disk's noise would otherwise dominate phase comparisons
+    val ckptBase = new java.io.File(
+      sys.env.getOrElse("GRAFT_CKPT_BASE", "/dev/shm"))
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      ckptBase.toPath, "graft_profile").toString
     val hr = if (hostBudget > 0) hostBudget / 30.0 else 1e9
     val hb = if (hostBudget > 0) hostBudget else 1e9
     val engine = new CrawlEngine(corpus, EngineConfig(
       project = ProjectConfig("prof", rate = 1e9, burst = 1e9,
         hostRate = hr, hostBurst = hb, loopLimit = Int.MaxValue / 2, depthLimit = -1),
-      seedCallback = "bfs_page", roundDt = 30.0, checkpointDir = ckpt))
+      seedCallback = "bfs_page", roundDt = 30.0, checkpointDir = ckpt,
+      broadcastFetchMax = // dev A/B knob for the candidate-broadcast gate
+        sys.env.getOrElse("GRAFT_BCAST_MAX", "200000").toLong))
     engine.robotsRules.count()
     engine.fetcher match {
       case c: graft.fetch.CorpusFetcher => c.warm()

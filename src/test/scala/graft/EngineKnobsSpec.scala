@@ -230,6 +230,50 @@ class EngineKnobsSpec extends AnyFunSuite {
     assert(bRows.head.getAs[String]("result").contains("\"from\": \"pa\""))
   }
 
+  test("P15 duplicate same-round messages never fan out a colliding live row") {
+    // Two pa pages each message pb in ONE round, while pb ALSO crawls the
+    // REAL url `data:,on_message` — whose taskid equals the synthetic
+    // message packs' constant md5. The message packs must be excluded from
+    // applyStatus (@not_send_status): with them in, the duplicate join keys
+    // fan pb's live row out into duplicate frontier/archive rows; the real
+    // task's own pack must still flow (archived exactly once).
+    val u0 = "http://a.example/p/0"
+    val u1 = "http://a.example/p/1"
+    val pages = Seq(page(u0, Nil, "t0"), page(u1, Nil, "t1"), robots("a.example"))
+    val sender = new Handler {
+      def onPage(t: Task, p: FetchedPage): HandlerResult =
+        HandlerResult(messages = Seq(("pb", s"""{"src": "${t.url}"}""")))
+    }
+    val echo = new Handler {
+      def onPage(t: Task, p: FetchedPage): HandlerResult =
+        HandlerResult(result = """{"real": true}""")
+    }
+    val receiver = new Handler {
+      def onPage(t: Task, p: FetchedPage): HandlerResult =
+        HandlerResult(result = p.save)
+    }
+    val eng = mkEngine(pages, Seq(
+      ProjectSpec(unbounded("pa"), seeds = Seq(u0, u1), seedCallback = "send",
+        callbacks = Map("send" -> sender)),
+      ProjectSpec(unbounded("pb"), seeds = Seq("data:,on_message"),
+        seedCallback = "echo",
+        callbacks = Map("echo" -> echo, "_on_message" -> receiver))))
+    eng.crawl(Nil, maxRounds = 4)
+    val n = eng.store.lastCommitted().get
+    // raw archive log (NOT latest-collapsed): exactly ONE terminal row for
+    // pb's real task — a fan-out would append duplicates in one round
+    val pbArch = eng.store.readArchive(n).filter(_.project == "pb").collect()
+    assert(pbArch.length === 1, s"pb archive rows: ${pbArch.length}")
+    assert(pbArch.head.status === Status.Success)
+    assert(eng.store.readLive(n).filter(_.project == "pb").count() === 0)
+    // both messages still delivered to pb's _on_message
+    val msgRes = eng.resultsDF()
+      .filter(col("project") === "pb").collect()
+      .map(_.getAs[String]("result")).filter(_ != null)
+    assert(msgRes.count(_.contains("\"src\"")) === 2)
+    assert(msgRes.count(_.contains("\"real\"")) === 1)
+  }
+
   test("F3 engine-path redirects: chains followed to final content; >5 hops error") {
     val dst = "http://a.example/p/final"
     val pages = Seq(
