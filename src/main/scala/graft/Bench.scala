@@ -151,17 +151,36 @@ object Bench {
     n / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** Exchange-inclusive calibration: the same page-shaped per-row work
+    * feeding ONE groupBy exchange of follow-shaped rows (64-char string key
+    * + payload, near-zero within-partition duplication) — the shape of a
+    * crawl round's merge legs, which shuffle a follows-sized table every
+    * round. On one box all 4N worker JVMs share loopback + DRAM for the
+    * transfer, so this ceiling sits systematically below the shuffle-free
+    * one; a real cluster pays NIC transfer but gains per-node memory
+    * bandwidth. Reported alongside the shuffle-free ceiling — neither is
+    * "the" ceiling; the crawl is a mix of both shapes. Returns rows/s. */
+  private def calibShuffleJob(spark: SparkSession): Double = {
+    val n = 8_000_000L
+    val t0 = System.nanoTime()
+    spark.range(n)
+      .selectExpr("sha2(cast(id % 1000000 as string), 256) as k", "id as v")
+      .groupBy("k").max("v").count()
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
+
   private def rmRf(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
     f.delete()
   }
 
   private def crawlCluster(nWorkers: Int, nPages: Long, nHosts: Int,
-                           branch: Int, memGb: Int): (Double, Long, Double) =
+                           branch: Int, memGb: Int): (Double, Long, Double, Double) =
     withCluster(nWorkers, coresPerWorker = 4, executorMemGb = memGb) { spark =>
       val calib = { calibJob(spark); calibJob(spark) } // 2nd run = warmed JIT
+      val calibSh = { calibShuffleJob(spark); calibShuffleJob(spark) }
       val (rate, pages) = crawlJob(spark, nPages, nHosts, branch)
-      (rate, pages, calib)
+      (rate, pages, calib, calibSh)
     }
 
   private def crawlLocal(cores: Int, nPages: Long, nHosts: Int,
@@ -244,16 +263,20 @@ object Bench {
             "falling back to local")
           val a = crawlLocal(4 * wN, benchPages, benchHosts, benchBranch)
           val b = crawlLocal(16 * wN, benchPages, benchHosts, benchBranch)
-          ((a._1, a._2, 1.0), (b._1, b._2, 4.0),
+          ((a._1, a._2, 1.0, 1.0), (b._1, b._2, 4.0, 4.0),
             s"local-${4 * wN}-vs-${16 * wN}-fallback")
       }
-    val (tLoRate, _, calibLo) = nLo
-    val (tHiRate, fetched, calibHi) = nHi
+    val (tLoRate, _, calibLo, calibShLo) = nLo
+    val (tHiRate, fetched, calibHi, calibShHi) = nHi
     val efficiency = (tHiRate / tLoRate) / 4.0
     // sandbox hardware ceiling: what 4× the executor JVMs actually buy for
     // perfectly parallel work on this (shared, time-varying) box right now
     val hwCeiling = (calibHi / calibLo) / 4.0
     val normalized = efficiency / math.max(hwCeiling, 1e-9)
+    // exchange-inclusive ceiling (see calibShuffleJob): the same box's best
+    // N→4N for work that, like a crawl round, must shuffle its output once
+    val hwShCeiling = (calibShHi / calibShLo) / 4.0
+    val normalizedSh = efficiency / math.max(hwShCeiling, 1e-9)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -266,6 +289,8 @@ object Bench {
       s""""crawl_urls_per_sec_4n":$tHiRate,""" +
       s""""hw_ceiling_efficiency":$hwCeiling,""" +
       s""""scaling_efficiency_vs_hw_ceiling":${math.min(normalized, 1.0)},""" +
+      s""""hw_shuffle_ceiling_efficiency":$hwShCeiling,""" +
+      s""""scaling_efficiency_vs_shuffle_ceiling":${math.min(normalizedSh, 1.0)},""" +
       s""""scaling_efficiency":$efficiency}""")
   }
 }

@@ -26,6 +26,8 @@ object RoundProfile {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.buffer.pageSize", sys.env.getOrElse("GRAFT_PAGESZ", "2m"))
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
     // GRAFT_WORKERS=N spawns a real N×4-core multi-JVM standalone cluster
     // (the bench protocol's execution model); GRAFT_MASTER=spark://...
