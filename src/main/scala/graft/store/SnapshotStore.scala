@@ -142,21 +142,28 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
   def writeLiveBucketed(n: Long, live: DataFrame, changed: Option[Set[Int]],
                         nBuckets: Int): Long = {
     val dir = s"${roundDir(n)}/live"
-    // Write distribution, gated by the file count the layout would produce
-    // (both layouts are bit-parity — MorParity/EngineKnobs COW tests):
-    //  - map-side partitionBy emits one file per (upstream task × bucket it
-    //    contains) — zero extra exchange, the right choice while that
-    //    product is small. Measured on 4×4 multi-JVM clusters: 18.5k vs
-    //    11.4k urls/s against the unconditional shuffle, whose cross-JVM
-    //    serialization of the full frontier dominated materialization
-    //    rounds.
+    // Write distribution, gated by the file count a PARTITIONED layout would
+    // produce (all layouts are bit-parity — MorParity/EngineKnobs COW tests):
+    //  - under the budget: PLAIN map-side files sorted by (__bucket, status,
+    //    exetime), with __bucket kept as a data column — zero exchange, one
+    //    file per upstream task. Bucket-pruned reads use row-group min/max
+    //    on the sorted __bucket. The previous map-side partitionBy layout
+    //    (one file per task × bucket) was the measured non-scaling term of
+    //    explosion rounds: 2048 small files cost 11-13 s to write plus
+    //    13-16 s of DRIVER-SERIAL footer reads for the manifest at BOTH
+    //    cluster sizes (tools.WriteShape2; run-F phase logs showed writeLive
+    //    at 20-35 s with a 1.04× N→4N speedup). Plain: 0.7-2.6 s write +
+    //    0.5 s manifest, and the manifest counts come from a column-pruned
+    //    executor-parallel agg instead of the driver.
     //  - above the budget (true scale: 10^4+ tasks × 10^3 buckets would be
-    //    10^7+ small files per materialization), hash-distribute on
-    //    __bucket first — Iceberg's write.distribution-mode=hash for
-    //    exactly this reason. One file per bucket also restores the
-    //    exetime row-group clustering the due scan prunes on, which many
-    //    tiny per-task files dilute (tools.WriteShape: 10× read-back gap
-    //    at 5M rows).
+    //    10^7+ interleaved files that force every pruned read to open every
+    //    file), hash-distribute on __bucket into the partitioned layout —
+    //    Iceberg's write.distribution-mode=hash for exactly this reason.
+    //    One file per bucket keeps pruned reads O(touched buckets) and the
+    //    per-bucket manifest footers O(B) single-file reads.
+    //    (The unconditional shuffle was also measured WRONG at bench scale:
+    //    18.5k vs 11.4k urls/s on 4×4 multi-JVM — cross-JVM serialization
+    //    of the full frontier; see BENCH/BASELINE.md "Round-3 (late)".)
     // GRAFT_LIVE_REPART=true/false forces either path (dev A/B).
     val maxFiles = sys.env.getOrElse("GRAFT_LIVE_MAX_FILES", "8192").toLong
     val mapSideFiles = live.rdd.getNumPartitions.toLong * nBuckets
@@ -165,17 +172,24 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
       case Some("false") => false
       case _ => mapSideFiles > maxFiles
     }
-    val toWrite =
-      if (repart) live.repartition(nBuckets,
-        org.apache.spark.sql.functions.col("__bucket"))
-      else live
-    dueSorted(toWrite, Seq("__bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(dir)
+    val counts: Map[Int, Long] =
+      if (repart) {
+        dueSorted(live.repartition(nBuckets,
+            org.apache.spark.sql.functions.col("__bucket")), Seq("__bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(dir)
+        val want = changed.getOrElse((0 until nBuckets).toSet)
+        want.iterator.map(b =>
+          b -> footerRows(new Path(s"$dir/__bucket=$b"))).toMap
+      } else {
+        dueSorted(live, Seq("__bucket"))
+          .write.mode(SaveMode.Overwrite).parquet(dir)
+        if (!livePlain(n)) Map.empty // zero-row write → no data files
+        else spark.read.parquet(dir).groupBy("__bucket").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }
     val m = changed match {
       case None =>
-        (0 until nBuckets).map { b =>
-          b -> (n, footerRows(new Path(s"$dir/__bucket=$b")))
-        }.toMap
+        (0 until nBuckets).map(b => b -> (n, counts.getOrElse(b, 0L))).toMap
       case Some(chg) =>
         val prev = readLiveManifest(n - 1).getOrElse(
           throw new IllegalStateException(s"no live manifest at ${n - 1}"))
@@ -186,12 +200,56 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
           s"live bucket count changed ${prev.size} -> $nBuckets at round $n; " +
             "COW inherit is invalid — caller must fall back to a full rewrite")
         (0 until nBuckets).map { b =>
-          if (chg(b)) b -> (n, footerRows(new Path(s"$dir/__bucket=$b")))
+          if (chg(b)) b -> (n, counts.getOrElse(b, 0L))
           else b -> prev(b)
         }.toMap
     }
     writeLiveManifest(n, m)
     m.values.map(_._2).sum
+  }
+
+  /** Layout of round `r`'s live dir: plain sorted files (true) vs
+    * `__bucket=` partition dirs (false). Detected from the dir contents so
+    * mixed-layout manifests (a partial partitioned round inheriting from a
+    * plain full rewrite, or vice versa) read correctly. */
+  private def livePlain(r: Long): Boolean = {
+    val dir = new Path(s"${roundDir(r)}/live")
+    fs.exists(dir) && fs.listStatus(dir).exists(
+      _.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Read the live rows that manifest `m` maps to `buckets` (None = all).
+    * Sources are grouped by round; each source round's layout is detected
+    * (plain vs partitioned). A plain round is ALWAYS filtered to the
+    * buckets the manifest maps to it — its dir may hold stale rows of
+    * buckets a later round rewrote — except in the single-source full case
+    * where the filter is provably a no-op. */
+  private def readManifestBuckets(m: Map[Int, (Long, Long)],
+                                  buckets: Option[Set[Int]]): Dataset[Task] = {
+    import org.apache.spark.sql.functions.col
+    val want = buckets match {
+      case Some(bs) => m.filter { case (b, _) => bs(b) }
+      case None => m
+    }
+    val byRound = want.groupBy { case (_, (r, _)) => r }
+    val parts = byRound.toSeq.sortBy(_._1).flatMap { case (r, entries) =>
+      val dir = s"${roundDir(r)}/live"
+      val bs = entries.keySet
+      if (livePlain(r)) {
+        val df = spark.read.parquet(dir)
+        val filtered =
+          if (byRound.size == 1 && bs.size == m.size) df
+          else df.filter(col("__bucket").isin(bs.toSeq: _*))
+        Some(filtered.select(taskCols: _*))
+      } else {
+        val paths = bs.toSeq.sorted.map(b => s"$dir/__bucket=$b")
+          .filter(p => fs.exists(new Path(p)))
+        if (paths.isEmpty) None
+        else Some(spark.read.parquet(paths: _*).select(taskCols: _*))
+      }
+    }
+    if (parts.isEmpty) spark.emptyDataset[Task]
+    else parts.reduce(_ union _).as[Task]
   }
 
   /** Quiet-round carry: round `n` inherits round `n-1`'s bucket manifest
@@ -356,11 +414,7 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
   def readLiveBuckets(n: Long, buckets: Set[Int]): Dataset[Task] = {
     val m = readLiveManifest(n).getOrElse(
       throw new IllegalStateException(s"readLiveBuckets($n): no live manifest"))
-    val paths = m.toSeq
-      .collect { case (b, (r, _)) if buckets(b) => s"${roundDir(r)}/live/__bucket=$b" }
-      .filter(p => fs.exists(new Path(p)))
-    if (paths.isEmpty) spark.emptyDataset[Task]
-    else spark.read.parquet(paths: _*).select(taskCols: _*).as[Task]
+    readManifestBuckets(m, Some(buckets))
   }
 
   /** Bucket-pruned live read that also works mid-delta-chain: reads ONLY
@@ -396,16 +450,11 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
 
   def readLive(n: Long): Dataset[Task] = {
     readLiveManifest(n) match {
-      case Some(m) =>
-        val paths = m.toSeq
-          .map { case (b, (r, _)) => s"${roundDir(r)}/live/__bucket=$b" }
-          .filter(p => fs.exists(new Path(p)))
-        if (paths.isEmpty) spark.emptyDataset[Task]
-        else spark.read.parquet(paths: _*)
-          .select(taskCols: _*).as[Task]
+      case Some(m) => readManifestBuckets(m, None)
       case None =>
         val dir = new Path(s"${roundDir(n)}/live")
-        if (fs.exists(dir)) spark.read.parquet(dir.toString).as[Task]
+        if (fs.exists(dir))
+          spark.read.parquet(dir.toString).select(taskCols: _*).as[Task]
         else liveDeltaInfo(n) match {
           case Some((base, _)) => readLiveViaDeltas(n, base)
           case None =>
