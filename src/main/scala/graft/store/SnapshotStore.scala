@@ -139,6 +139,13 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     * expects `live` ALREADY FILTERED to those buckets and inherits the rest
     * from round n-1's manifest (which must exist). `live` must carry
     * `__bucket`. Returns total live rows across all buckets (footer-exact). */
+  /** Test/dev override of the live-write distribution gate: Some(true)
+    * forces the hash-distributed partitioned layout, Some(false) the plain
+    * map-side one; None (default) uses GRAFT_LIVE_REPART / the file-count
+    * budget. StoreFuzzSpec flips this per write to prove mixed-layout
+    * manifest chains read exactly. */
+  @volatile var liveRepartOverride: Option[Boolean] = None
+
   def writeLiveBucketed(n: Long, live: DataFrame, changed: Option[Set[Int]],
                         nBuckets: Int): Long = {
     val dir = s"${roundDir(n)}/live"
@@ -166,11 +173,19 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     //    of the full frontier; see BENCH/BASELINE.md "Round-3 (late)".)
     // GRAFT_LIVE_REPART=true/false forces either path (dev A/B).
     val maxFiles = sys.env.getOrElse("GRAFT_LIVE_MAX_FILES", "8192").toLong
-    val mapSideFiles = live.rdd.getNumPartitions.toLong * nBuckets
-    val repart = sys.env.get("GRAFT_LIVE_REPART") match {
-      case Some("true") => true
-      case Some("false") => false
-      case _ => mapSideFiles > maxFiles
+    // partition count from the PHYSICAL PLAN, not `.rdd`: building the RDD
+    // kicks off the plan's broadcast-build futures (SparkPlan.prepare)
+    // before the write's own execution — planning alone launches no job and
+    // cannot be charged for upstream compute the write then re-plans.
+    val upParts =
+      try live.queryExecution.executedPlan.outputPartitioning.numPartitions
+      catch { case _: Exception =>
+        spark.sessionState.conf.numShufflePartitions }
+    val mapSideFiles = upParts.toLong * nBuckets
+    val repart = liveRepartOverride.orElse(
+      sys.env.get("GRAFT_LIVE_REPART").map(_ == "true")) match {
+      case Some(v) => v
+      case None => mapSideFiles > maxFiles
     }
     val counts: Map[Int, Long] =
       if (repart) {

@@ -80,6 +80,11 @@ class StoreFuzzSpec extends AnyFunSuite {
       var lastManifested = true // does round n carry a bucket manifest?
       for (_ <- 1 to 14) {
         n += 1
+        // flip the write distribution per round: manifests then chain plain
+        // map-side rounds and hash-partitioned rounds, and every read below
+        // must resolve the mixed layouts exactly (readManifestBuckets'
+        // per-source-round detection + bucket filters)
+        store.liveRepartOverride = Some(rnd.nextBoolean())
         rnd.nextInt(4) match {
           case 0 => // full materialization (the compaction-cadence round)
             val (ups, dels) = mutate(12, 4)
