@@ -134,11 +134,6 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     }.sum
   }
 
-  /** Write round `n`'s live set bucketed. `changed = None` rewrites every
-    * bucket (BFS-explosion rounds, first round, fallback); `Some(set)`
-    * expects `live` ALREADY FILTERED to those buckets and inherits the rest
-    * from round n-1's manifest (which must exist). `live` must carry
-    * `__bucket`. Returns total live rows across all buckets (footer-exact). */
   /** Test/dev override of the live-write distribution gate: Some(true)
     * forces the hash-distributed partitioned layout, Some(false) the plain
     * map-side one; None (default) uses GRAFT_LIVE_REPART / the file-count
@@ -146,6 +141,12 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     * manifest chains read exactly. */
   @volatile var liveRepartOverride: Option[Boolean] = None
 
+  /** Write round `n`'s live set bucketed. `changed = None` rewrites every
+    * bucket (BFS-explosion rounds, first round, fallback); `Some(set)`
+    * expects `live` ALREADY FILTERED to those buckets and inherits the rest
+    * from round n-1's manifest (which must exist). `live` must carry
+    * `__bucket`. Returns total live rows across all buckets (exact counts
+    * from the post-write metadata aggregation). */
   def writeLiveBucketed(n: Long, live: DataFrame, changed: Option[Set[Int]],
                         nBuckets: Int): Long = {
     val dir = s"${roundDir(n)}/live"
