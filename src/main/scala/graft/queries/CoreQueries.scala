@@ -106,15 +106,19 @@ object CoreQueries {
           .select("user_id", "event_id", "session_id")
       }),
 
-    // distinct + set op: event types seen in first half but not second half
+    // distinct + set op: event VALUES seen in the first 500 events but never
+    // again (r3 verdict item 2: the old event_type split was empty in both
+    // engines at every SF — a trivially-green gate; the value column has
+    // 27-462 first-half-only members across sf0.001-0.1, so EXCEPT's
+    // dedup+anti semantics are actually exercised). Values are parquet
+    // doubles compared verbatim — no arithmetic, bit-identical engines.
     Q("set1_except",
-      """SELECT DISTINCT event_type FROM events
-        | WHERE event_id < 500 AND event_type NOT IN
-        |   (SELECT event_type FROM events WHERE event_id >= 500)""".stripMargin)(
+      """SELECT value FROM events WHERE event_id < 500
+        | EXCEPT SELECT value FROM events WHERE event_id >= 500""".stripMargin)(
       (s, dir) => {
         val e = table(s, dir, "events")
-        e.filter(col("event_id") < 500).select("event_type")
-          .except(e.filter(col("event_id") >= 500).select("event_type"))
+        e.filter(col("event_id") < 500).select("value")
+          .except(e.filter(col("event_id") >= 500).select("value"))
       })
   )
 }
