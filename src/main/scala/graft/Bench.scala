@@ -223,27 +223,45 @@ object Bench {
       else {
         val spark = newLocalSession(cpus)
         val qmap = SparkEntry.queries
-        // steady-state measurement (same policy as the crawl part's codegen
-        // priming): one untimed pass first — the first sight of each plan
-        // shape janino-compiles MB-scale generated sources and reads every
-        // parquet footer; a production query sees neither, and attributing
-        // that one-time tax to whichever query runs first measures the
-        // JVM, not the plan (see BENCH/BASELINE.md for the measured delta)
-        headline.foreach { name =>
+        // STEADY-STATE measurement: two untimed passes, then the MEDIAN of
+        // three timed runs per query. Why two passes and a median (r4, after
+        // the r3 bench recorded emb_neardup_hp at 17.7 s that steady-state
+        // runs at ~1.4 s): jstack sampling during the slow first executions
+        // shows the time goes to SINGLE-THREADED JVM warm-up — classloading
+        // across the ~300-jar classpath (ZipFile.getEntryPos) and janino
+        // `cook` of MB-scale generated sources — which takes 2-3 executions
+        // of a plan shape to fade and lands on whichever TIMED query still
+        // has cold classes. A production query on a long-lived cluster sees
+        // neither; timing it measures the JVM, not the plan (measured: runs
+        // of the same query in one JVM at load<0.5 go 9.2→3.2→6.8→1.5→2.0→
+        // 1.2 s). The median of three post-warm runs also shrugs off this
+        // shared box's transient contention spikes.
+        for (_ <- 1 to 2; name <- headline) {
           qmap.get(name).foreach { fn =>
             try fn(spark, sfDir).count() catch { case _: Throwable => () }
           }
         }
         val r = headline.flatMap { name =>
           qmap.get(name).map { fn =>
-            val t0 = System.nanoTime()
-            try fn(spark, sfDir).count() catch { case _: Throwable => () }
-            name -> (System.nanoTime() - t0) / 1e9
+            val times = (1 to 3).map { _ =>
+              val t0 = System.nanoTime()
+              try fn(spark, sfDir).count() catch { case _: Throwable => () }
+              (System.nanoTime() - t0) / 1e9
+            }.sorted
+            name -> times(1)
           }
         }
         spark.stop()
         r
       }
+
+    // dev iteration on the query battery alone (mirror of SKIP_QUERIES)
+    if (sys.env.contains("SPARK_GRAFT_SKIP_CRAWL")) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      return
+    }
 
     // -- part 2: scaling protocol — N vs 4N identical 4-core worker JVMs --
     // Default N=1 worker (4 cores) vs 4N=4 workers (16 cores): both levels

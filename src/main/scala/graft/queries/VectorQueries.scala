@@ -29,8 +29,14 @@ object VectorQueries {
       |  FROM embeddings
       |)""".stripMargin
 
+  /** exact integer dot product — a native codegen'd expression
+    * (`functions/VectorExpr.scala`), NOT `aggregate(zip_with(...))`: the
+    * higher-order form is CodegenFallback and, evaluated inside the bucket
+    * join's condition once per candidate pair, was the entire r3
+    * `emb_neardup_hp` bench regression (interpreted 64-element lambdas ×
+    * millions of pairs). */
   private def dotCol(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    graft.functions.VectorExpr.dotL(col(a), col(b))
 
   // ---- random-hyperplane LSH (the scale path) ---------------------------
   // The fixed-first-8-dims sign bucketing of ann_lsh_buckets caps at 256
@@ -73,17 +79,14 @@ object VectorQueries {
   private def hpSignSql(p: Int): String =
     s"(CASE WHEN ((1103515245::BIGINT * (${p * 4096} + pos) + 12345) % 2147483648) // 32768 % 2 = 0 THEN 1 ELSE -1 END)"
 
-  /** All plane projections computed IN-ROW over the quantized array with
-    * higher-order functions — zero shuffle (r3 used posexplode + groupBy:
-    * an n×64-row exchange just to sum 16 products per vector). */
+  /** All plane projections computed IN-ROW over the quantized array —
+    * zero shuffle (r3 used posexplode + groupBy: an n×64-row exchange just
+    * to sum 16 products per vector). Each projection is one fused native
+    * loop (`LcgSignedSum`) inside whole-stage codegen, not an interpreted
+    * `aggregate(zip_with(...))` per plane. */
   private def hpProjected(s: SparkSession, dir: String, planes: Int): DataFrame = {
     val cols = (0 until planes).map { p =>
-      expr(
-        s"""aggregate(
-           |  zip_with(q, sequence(1L, cast(size(q) as long)), (x, pos) ->
-           |    x * (case when ((1103515245L * (${p * 4096} + pos) + 12345) % 2147483648L) div 32768 % 2 = 0
-           |         then 1L else -1L end)),
-           |  0L, (acc, v) -> acc + v)""".stripMargin).as(s"s$p")
+      graft.functions.VectorExpr.lcgSignedSum(col("q"), p).as(s"s$p")
     }
     quantized(s, dir).select(col("vec_id") +: cols: _*)
   }
@@ -155,6 +158,30 @@ object VectorQueries {
        |    SELECT b.vec_id, b.band, b.bucket, s.cnt
        |    FROM buckets b JOIN sizes s ON s.band = b.band AND s.bucket = b.bucket) t
        |  WHERE ${hpSampleKeepSql(HP_CAP)})""".stripMargin
+
+  // dev-only hooks for tools/NeardupDissect (stage-by-stage timing)
+  private[graft] def debugCapped(s: SparkSession, dir: String, bands: Int, bits: Int): DataFrame =
+    hpCapped(s, dir, bands, bits)
+  private[graft] def debugWithq(s: SparkSession, dir: String, bands: Int, bits: Int): DataFrame =
+    hpCapped(s, dir, bands, bits)
+      .join(quantized(s, dir).select(col("vec_id"), col("q"))
+        .withColumn("n2", dotCol("q", "q")), "vec_id")
+  private[graft] def debugPairs(s: SparkSession, dir: String, bands: Int, bits: Int,
+      withCosine: Boolean): DataFrame = {
+    val withq = debugWithq(s, dir, bands, bits)
+    val a = withq.select(col("vec_id").as("id_a"), col("band"),
+      col("bucket"), col("q").as("qa"), col("n2").as("na2"))
+    val b = withq.select(col("vec_id").as("id_b"), col("band").as("band_b"),
+      col("bucket").as("bucket_b"), col("q").as("qb"), col("n2").as("nb2"))
+    val j = a.join(b, col("band") === col("band_b") &&
+      col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+    if (withCosine)
+      j.withColumn("dot", dotCol("qa", "qb"))
+        .withColumn("cosine", col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+        .filter(col("cosine") >= NEARDUP_TAU.toDouble)
+    else j
+  }
 
   /** near-dup acceptance threshold: 0.35 — sized so the sf0.01 gate fixture
     * (500 random-ish vectors, max in-bucket cosine 0.43-0.51) yields REAL
@@ -264,17 +291,19 @@ object VectorQueries {
       (s, dir) => {
         val bits = (1 to 8).map(i =>
           when(element_at(col("embedding"), i) >= 0, "1").otherwise("0"))
+        // norms are PER-VECTOR: compute them once on the n-row side of the
+        // join, not per candidate pair inside the join condition
         val b = table(s, dir, "embeddings").select(col("vec_id"),
           concat(bits: _*).as("bucket"),
           expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000) as bigint))")
             .as("q"))
-        val a2 = b.select(col("vec_id").as("id_a"), col("bucket"), col("q").as("qa"))
+          .withColumn("n2", dotCol("q", "q"))
+        val a2 = b.select(col("vec_id").as("id_a"), col("bucket"), col("q").as("qa"),
+          col("n2").as("na2"))
         val b2 = b.select(col("vec_id").as("id_b"), col("bucket").as("bucket_b"),
-          col("q").as("qb"))
+          col("q").as("qb"), col("n2").as("nb2"))
         a2.join(b2, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
           .withColumn("dot", dotCol("qa", "qb"))
-          .withColumn("na2", dotCol("qa", "qa"))
-          .withColumn("nb2", dotCol("qb", "qb"))
           .withColumn("cosine", col("dot").cast("double") /
             (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
           .filter(col("cosine") >= NEARDUP_TAU.toDouble)
@@ -328,17 +357,18 @@ object VectorQueries {
         // table, no DISTINCT over unscored pairs. Cross-band dedup happens
         // on the (bounded, ~cap²/2-per-bucket) scored pairs; cosine is a
         // pure pair function so min == the value.
+        // norms attach per-vector alongside q (n rows), so the only per-pair
+        // work left in the join is the single codegen'd dot product
         val withq = hpCapped(s, dir, HP_BANDS, bits)
-          .join(quantized(s, dir).select(col("vec_id"), col("q")), "vec_id")
+          .join(quantized(s, dir).select(col("vec_id"), col("q"))
+            .withColumn("n2", dotCol("q", "q")), "vec_id")
         val a = withq.select(col("vec_id").as("id_a"), col("band"),
-          col("bucket"), col("q").as("qa"))
+          col("bucket"), col("q").as("qa"), col("n2").as("na2"))
         val b = withq.select(col("vec_id").as("id_b"), col("band").as("band_b"),
-          col("bucket").as("bucket_b"), col("q").as("qb"))
+          col("bucket").as("bucket_b"), col("q").as("qb"), col("n2").as("nb2"))
         a.join(b, col("band") === col("band_b") &&
             col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
           .withColumn("dot", dotCol("qa", "qb"))
-          .withColumn("na2", dotCol("qa", "qa"))
-          .withColumn("nb2", dotCol("qb", "qb"))
           .withColumn("cosine", col("dot").cast("double") /
             (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
           .filter(col("cosine") >= NEARDUP_TAU.toDouble)
