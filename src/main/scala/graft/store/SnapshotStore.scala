@@ -141,6 +141,34 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     * manifest chains read exactly. */
   @volatile var liveRepartOverride: Option[Boolean] = None
 
+  /** Upstream write-task estimate for the layout gate, from the PHYSICAL
+    * PLAN, not `.rdd`: building the RDD kicks off the plan's
+    * broadcast-build futures (SparkPlan.prepare) before the write's own
+    * execution — planning alone launches no job and cannot be charged for
+    * upstream compute the write then re-plans.
+    *
+    * ADVICE r3 fix: `SparkPlan.outputPartitioning` is UnknownPartitioning(0)
+    * for AQE roots (AdaptiveSparkPlanExec never overrides it) and for
+    * map-only scan pipelines — a 0 is "unknown", NOT "zero tasks", and the
+    * old code fed it straight into `mapSideFiles`, permanently disabling the
+    * hash-distributed layout (the documented 10^4+-task safeguard). Unwrap
+    * the AQE root (`inputPlan` is the un-executed physical plan — still no
+    * job) and treat any non-positive estimate as unknown → assume the
+    * session's shuffle parallelism, the write's actual task count for every
+    * shuffle-fed pipeline and a sane scale proxy otherwise. */
+  private[graft] def mapSideTaskEstimate(live: DataFrame): Long = {
+    val est =
+      try {
+        val p = live.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.inputPlan
+          case other => other
+        }
+        p.outputPartitioning.numPartitions
+      } catch { case _: Exception => 0 }
+    (if (est > 0) est else spark.sessionState.conf.numShufflePartitions).toLong
+  }
+
   /** Write round `n`'s live set bucketed. `changed = None` rewrites every
     * bucket (BFS-explosion rounds, first round, fallback); `Some(set)`
     * expects `live` ALREADY FILTERED to those buckets and inherits the rest
@@ -174,15 +202,7 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     //    of the full frontier; see BENCH/BASELINE.md "Round-3 (late)".)
     // GRAFT_LIVE_REPART=true/false forces either path (dev A/B).
     val maxFiles = sys.env.getOrElse("GRAFT_LIVE_MAX_FILES", "8192").toLong
-    // partition count from the PHYSICAL PLAN, not `.rdd`: building the RDD
-    // kicks off the plan's broadcast-build futures (SparkPlan.prepare)
-    // before the write's own execution — planning alone launches no job and
-    // cannot be charged for upstream compute the write then re-plans.
-    val upParts =
-      try live.queryExecution.executedPlan.outputPartitioning.numPartitions
-      catch { case _: Exception =>
-        spark.sessionState.conf.numShufflePartitions }
-    val mapSideFiles = upParts.toLong * nBuckets
+    val mapSideFiles = mapSideTaskEstimate(live) * nBuckets
     val repart = liveRepartOverride.orElse(
       sys.env.get("GRAFT_LIVE_REPART").map(_ == "true")) match {
       case Some(v) => v
@@ -268,7 +288,7 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
         val df = spark.read.parquet(dir)
         val filtered =
           if (byRound.size == 1 && bs.size == m.size) df
-          else df.filter(col("__bucket").isin(bs.toSeq: _*))
+          else bucketSetFilter(df, bs, m.size)
         Some(filtered.select(taskCols: _*))
       } else {
         val paths = bs.toSeq.sorted.map(b => s"$dir/__bucket=$b")
@@ -279,6 +299,30 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     }
     if (parts.isEmpty) spark.emptyDataset[Task]
     else parts.reduce(_ union _).as[Task]
+  }
+
+  /** Bucket-set predicate that stays cheap to PLAN at real-scale bucket
+    * counts (ADVICE r3: a mixed-layout chain read at B=64k was building an
+    * `In` with tens of thousands of literals per source round — slow to
+    * analyze and near expression-size limits). Shape chosen by the set:
+    * contiguous → one `between` (reaches parquet row-group min/max on the
+    * __bucket-sorted plain layout, strictly better than `In`); small set or
+    * small complement → bounded `isin` / negated `isin`; otherwise (huge
+    * fragmented set) → broadcast left-semi join, O(1) expression size. */
+  private val MaxInLiterals = 256
+  private def bucketSetFilter(df: DataFrame, bs: Set[Int], nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val sorted = bs.toSeq.sorted
+    val compl = (0 until nBuckets).filterNot(bs)
+    if (sorted.nonEmpty && sorted.size == sorted.last - sorted.head + 1)
+      df.filter(col("__bucket").between(sorted.head, sorted.last))
+    else if (sorted.size <= MaxInLiterals)
+      df.filter(col("__bucket").isin(sorted: _*))
+    else if (compl.size <= MaxInLiterals)
+      df.filter(!col("__bucket").isin(compl: _*))
+    else
+      df.join(org.apache.spark.sql.functions.broadcast(
+        spark.createDataset(sorted).toDF("__bucket")), Seq("__bucket"), "left_semi")
   }
 
   /** Quiet-round carry: round `n` inherits round `n-1`'s bucket manifest

@@ -71,13 +71,17 @@ object WriteShape2 {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val base = "/dev/shm/graft_ws2"
-    def bucketRead(dir: String, partitioned: Boolean): Double = {
-      // MOR/pruned-merge read shape: 3 buckets of the base snapshot
+    def bucketRead(dir: String): Double = {
+      // MOR/pruned-merge read shape: 3 buckets of the base snapshot. The
+      // SAME isin expression serves both layouts on purpose — the layouts
+      // differ in what Spark does with it (partition-dir pruning vs
+      // row-group min/max on the __bucket-sorted files), not in reader code
+      // (ADVICE r3: the old partitioned/plain conditional had identical
+      // branches — dead).
       val sel = Seq(1, 7, 23).filter(_ < b)
       timed {
-        val df = spark.read.parquet(dir)
-        (if (partitioned) df.filter(col("__bucket").isin(sel.map(Integer.valueOf): _*))
-         else df.filter(col("__bucket").isin(sel.map(Integer.valueOf): _*)))
+        spark.read.parquet(dir)
+          .filter(col("__bucket").isin(sel.map(Integer.valueOf): _*))
           .count()
       }
     }
@@ -98,7 +102,7 @@ object WriteShape2 {
       ).map { case (name, dir, part, w) =>
         val tW = timed(w())
         val tF = timed(footers(dir, part))
-        val tB = bucketRead(dir, part)
+        val tB = bucketRead(dir)
         val tD = dueRead(dir)
         f"$name: write=$tW%5.1fs files=${countFiles(dir)}%5d manifest=$tF%5.2fs bucketRead=$tB%5.2fs dueRead=$tD%5.2fs"
       }

@@ -134,4 +134,20 @@ class StoreFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ADVICE r3: the layout gate's task estimate must never read a plan's
+  // UnknownPartitioning(0) as "zero tasks" — AdaptiveSparkPlanExec does not
+  // override outputPartitioning and map-only scan pipelines report 0, so the
+  // old estimate silently disabled the hash-distributed layout (the 10^4+
+  // task safeguard) in every AQE session.
+  test("mapSideTaskEstimate positive for AQE roots and map-only scans") {
+    val ckpt = Files.createTempDirectory("graft_est").toString
+    val store = new SnapshotStore(ckpt)
+    val dir = s"$ckpt/t.parquet"
+    spark.range(100).toDF("id").write.parquet(dir)
+    val scan = spark.read.parquet(dir) // map-only pipeline
+    val agg = scan.groupBy(col("id") % 7).count() // AQE root with exchange
+    assert(store.mapSideTaskEstimate(scan) > 0L)
+    assert(store.mapSideTaskEstimate(agg) > 0L)
+  }
 }
