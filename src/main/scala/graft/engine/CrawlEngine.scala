@@ -97,6 +97,32 @@ case class RoundStats(round: Long, now: Double, selected: Long, newLive: Long,
   * measured as the dominant cost of a BFS round. */
 case class ProcessOut(status: StatusPack, follows: Seq[FollowLite], result: ResultRow)
 
+/** G1 event-time model (VERDICT r3 next-round 5). The reference's counter
+  * tracks 5-minute sliding AVERAGES of per-task `track.fetch.time` /
+  * `track.process.time` (pyspider-master/pyspider/libs/counter.py:325-427,
+  * wired scheduler/scheduler.py:73-88) — real wall times of its per-task
+  * fetch/process calls. This engine fetches from a corpus table and
+  * processes set-at-a-time, so a per-task wall clock neither exists nor
+  * would be deterministic (wall times written into frontier rows would break
+  * the MOR/COW bit-parity and resume-replay invariants). The stand-in is a
+  * DETERMINISTIC cost model of the tracked quantities — bytes downloaded and
+  * work processed — quantized to whole MICROSECONDS so that any sum of them
+  * is an exact integer in a Double and every aggregate is independent of
+  * partitioning order:
+  *   fetch  ≈ 5 ms request latency + html bytes at 50 MB/s
+  *   process≈ 1 ms dispatch + text chars at 100 M/s + 10 µs per follow
+  * Per-round per-project (avg, count) pairs are appended to the metrics log;
+  * any sliding-window average (the reference's 5m/1h/1d) is reconstructible
+  * from them as Σ(avg·count)/Σcount over the window's rounds. */
+object TimeModel {
+  def fetchUs(htmlBytes: Int): Long = 5000L + htmlBytes / 50
+  def processUs(textChars: Int, follows: Int): Long =
+    1000L + textChars / 100 + follows * 10L
+  def fetchSec(htmlBytes: Int): Double = fetchUs(htmlBytes) / 1e6
+  def processSec(textChars: Int, follows: Int): Double =
+    processUs(textChars, follows) / 1e6
+}
+
 /** The crawl loop: each reference scheduler tick (scheduler.py:524-554)
   * becomes one deterministic batch ROUND — a single Dataset DAG from
   * frontier snapshot to frontier snapshot (SURVEY §3.1 restatement):
@@ -355,10 +381,14 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
           Handlers.mkFollow(task, f, now, task.project))
         val status = StatusPack(
           taskid = task.taskid, project = task.project,
-          fetchOk = fetchOk, statusCode = page.statusCode, fetchTime = 0.0,
+          fetchOk = fetchOk, statusCode = page.statusCode,
+          fetchTime = TimeModel.fetchSec(page.html.length),
           encoding = page.encoding, contentHash = page.contentHash,
           fetchError = page.error,
-          processOk = fetchOk && hr.ok, processTime = 0.0,
+          processOk = fetchOk && hr.ok,
+          processTime =
+            if (skipped) TimeModel.processSec(0, 0) // 304 short-circuit
+            else TimeModel.processSec(page.text.length, follows.size),
           follows = follows.size, exception = hr.exception,
           redirectUrl = if (page.url != task.url && page.statusCode == 200)
             page.url else null)
@@ -389,8 +419,9 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
             val mFollows = r.follows.map(f => Handlers.mkFollow(mTask, f, now, toProj))
             ProcessOut(
               StatusPack(mTask.taskid, toProj, fetchOk = true, statusCode = 200,
-                fetchTime = 0.0, encoding = "utf-8", contentHash = null,
-                fetchError = null, processOk = r.ok, processTime = 0.0,
+                fetchTime = TimeModel.fetchSec(0), encoding = "utf-8",
+                contentHash = null, fetchError = null, processOk = r.ok,
+                processTime = TimeModel.processSec(0, mFollows.size),
                 follows = mFollows.size, exception = r.exception,
                 redirectUrl = null, isMessage = true),
               mFollows,
@@ -577,13 +608,19 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
         sum(when(col("status.statusCode") === 304, 1).otherwise(0)).as("fetch_304"),
         sum(when(col("status.statusCode") >= 400, 1).otherwise(0)).as("fetch_err"),
         sum(when(col("result").isNotNull, 1).otherwise(0)).as("results_cnt"),
-        sum(col("status.follows")).as("follows_cnt"))
-      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect())
+        sum(col("status.follows")).as("follows_cnt"),
+        // G1 event averages (counter.py:325-427): the TimeModel micros are
+        // recovered as exact longs (round() kills the us/1e6 representation
+        // error), so these sums — and the averages derived from them — are
+        // bit-identical under any partitioning of the round
+        sum(round(col("status.fetchTime") * 1e6).cast("long")).as("fetch_us"),
+        sum(round(col("status.processTime") * 1e6).cast("long")).as("process_us"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect())
     // quiet rounds still record a (zero) metrics row — the counter log is
     // gapless per round, like the reference's 60 s counter dumps
     val metricRows0 =
       if (metricRows.nonEmpty) metricRows
-      else Array((headCfg.name, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+      else Array((headCfg.name, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
     val selectedCount = metricRows0.map(_._2).sum
     val resultRows = metricRows0.map(_._7).sum
     val followsCount = metricRows0.map(_._8).sum
@@ -964,9 +1001,16 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
         (totalLive, archObs.get("rows").asInstanceOf[Long])
       }
 
+    // G1 per-project event AVERAGES for this round (counter.py's tracked
+    // fetch/process time averages): exact-integer micro sums / count, so the
+    // sliding 5m/1h/1d windows the reference exposes are Σ(avg·n)/Σn over
+    // the window's metrics rows — see TimeModel
     val metrics = spark.createDataset(metricRows0.map(r =>
-        (r._1, r._2, r._3, r._4, r._5, r._6)).toSeq)
-      .toDF("project", "processed", "ok", "fetch_200", "fetch_304", "fetch_err")
+        (r._1, r._2, r._3, r._4, r._5, r._6,
+          if (r._2 > 0) r._9 / 1e6 / r._2 else 0.0,
+          if (r._2 > 0) r._10 / 1e6 / r._2 else 0.0)).toSeq)
+      .toDF("project", "processed", "ok", "fetch_200", "fetch_304", "fetch_err",
+        "avg_fetch_time", "avg_process_time")
       .withColumn("round", lit(n)).withColumn("now", lit(now))
       .withColumn("selected", lit(selectedCount))
       .withColumn("live_rows", lit(liveRows))

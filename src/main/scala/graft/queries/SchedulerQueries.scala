@@ -216,6 +216,24 @@ object SchedulerQueries {
           col("event_type"))
         .agg(count(lit(1)).as("n"))),
 
+    // G1 — event-time AVERAGES per 5-minute window (libs/counter.py:325-427:
+    // the reference's sliding counters track avg fetch/process time per
+    // window). Quantized-integer protocol: per-event values become exact
+    // longs (µ-units), the window aggregate carries (count, exact sum) — the
+    // average is s/n, reconstructible bit-identically by any consumer, like
+    // the engine's per-round avg_fetch_time/avg_process_time metrics columns
+    // (engine/CrawlEngine.TimeModel).
+    Q("g1_event_avg",
+      """SELECT (epoch_us(ts) // 300000000) * 300 AS bucket, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS s
+        | FROM events GROUP BY 1, 2""".stripMargin)(
+      (s, dir) => table(s, dir, "events")
+        .groupBy((expr("unix_micros(cast(ts as timestamp_ltz)) DIV 300000000") * 300).as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1000000).cast("long")).as("s"))),
+
     // G2 — status histogram (database/sqlite/taskdb.py:91-104)
     Q("g2_status_histogram",
       s"""$FRONTIER_SQL SELECT project, status, COUNT(*) AS n

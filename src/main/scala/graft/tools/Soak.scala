@@ -1,0 +1,139 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.corpus.CorpusGen
+import graft.engine.{CrawlEngine, EngineConfig, ProjectSpec}
+import graft.model.ProjectConfig
+import graft.process.{FollowSpec, Handler, HandlerResult, HtmlLite}
+
+/** Long-horizon soak (VERDICT r3 next-round 6): 200+ rounds with every
+  * re-arming mechanism live at once — @every cron ticks re-injecting seeds
+  * (O10), age-based recrawl + auto_recrawl re-arm (O12/D4), and a persistent
+  * retry ladder from always-missing urls (O11) — with the engine KILLED and
+  * RESUMED from its checkpoint at three fixed rounds (a fresh CrawlEngine +
+  * SnapshotStore over the same dir, the spark-submit restart path).
+  *
+  * Evidence recorded for BENCH/BASELINE.md:
+  *  - per-round wall-clock FLATNESS over the horizon (median of an early
+  *    window vs a late window — compaction cadence included);
+  *  - checkpoint-dir growth BOUNDED: store file counts sampled per segment,
+  *    before and after vacuum();
+  *  - the metrics log is GAPLESS across kills (rounds 1..N all present);
+  *  - the crawl finishes complete: the seen-set covers the corpus BFS
+  *    closure despite the kills.
+  *
+  * Not part of the driver contract — dev evidence, like FlatRound.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.length > 0) args(0).toInt else 16
+    val rounds = if (args.length > 1) args(1).toInt else 220
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-soak")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.buffer.pageSize", "2m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+
+    val corpus = CorpusGen.generate(spark, 20_000L, 16, 42L, 3).cache()
+    corpus.count()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft_soak")
+      .toString
+
+    // soak_page = bfs_page + the re-arm mechanisms: every follow carries
+    // age=300 (recrawl ~every 10 logical rounds at dt=30) with auto_recrawl
+    // on a third of them, and every 13th page also follows a url that is NOT
+    // in the corpus (permanent 599 → the full retry backoff ladder, O11)
+    val soakHandler: Handler = new Handler {
+      def onPage(task: graft.model.Task, page: graft.process.FetchedPage): HandlerResult = {
+        if (page.statusCode != 200)
+          return HandlerResult(ok = false, exception = s"HTTP ${page.statusCode}")
+        val links = HtmlLite.extractLinks(page.text, page.url)
+        val follows = links.map { u =>
+          FollowSpec(u, callback = "soak_page", age = 300L,
+            autoRecrawl = u.hashCode % 3 == 0)
+        } ++ (if (task.url.hashCode % 13 == 0)
+          Seq(FollowSpec(task.url + "/missing-forever", callback = "soak_page"))
+        else Nil)
+        HandlerResult(follows = follows,
+          result = s"""{"url": ${graft.process.Handlers.jsonStr(page.url)}}""")
+      }
+    }
+
+    val seeds = (0 until 4).map(h => s"http://site$h.example/")
+    def mkEngine(): CrawlEngine = new CrawlEngine(corpus, EngineConfig(
+      projects = Seq(ProjectSpec(
+        ProjectConfig("soak", rate = 1e9, burst = 1e9,
+          hostRate = 16.0 / 30.0, hostBurst = 16.0, // politeness-bounded rounds
+          loopLimit = 1000, depthLimit = -1),
+        seeds = seeds, seedCallback = "soak_page",
+        cronEverySec = 150L, // O10: re-inject seeds every 5 rounds
+        callbacks = Map("soak_page" -> soakHandler))),
+      roundDt = 30.0, checkpointDir = ckpt, useBloom = true,
+      seeds = seeds))
+
+    def fileCount(): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else 1L
+      walk(new java.io.File(ckpt))
+    }
+
+    // three fixed kill points (deterministic "random": spread over the run)
+    val killAt = Seq(57, 123, 181).filter(_ < rounds)
+    val segments = (killAt :+ rounds).distinct.sorted
+    var walls = Vector.empty[(Int, Double, Long)] // (round, wallSec, selected)
+    var fileLog = Vector.empty[String]
+    var prev = 0
+    for (seg <- segments) {
+      val engine = mkEngine() // fresh JVM-state engine == resume-from-kill
+      val stats = engine.crawl(seeds, maxRounds = seg)
+      walls ++= stats.map(st => (st.round.toInt, st.wallSec, st.selected))
+      val before = fileCount()
+      engine.store.vacuum()
+      val after = fileCount()
+      fileLog :+= s"""{"segment_end":$seg,"files_before_vacuum":$before,"files_after_vacuum":$after}"""
+      println(s"[soak] segment $prev..$seg done: files $before -> $after after vacuum")
+      prev = seg
+    }
+
+    // flatness: median wall over an early steady window vs a late one
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else { val s = xs.sorted; s(s.size / 2) }
+    val early = median(walls.filter(w => w._1 >= 20 && w._1 < 60).map(_._2))
+    val late = median(walls.filter(w => w._1 >= rounds - 50).map(_._2))
+
+    // gapless metrics + closure despite kills
+    val verifyEngine = mkEngine()
+    val metricRounds = verifyEngine.metricsDF().select("round")
+      .distinct().as[Long].collect().sorted
+    val gapless = metricRounds.length >= rounds &&
+      (1L to rounds.toLong).forall(metricRounds.contains)
+    val seen = verifyEngine.seenUrls().count()
+    // closure floor: every corpus url is reachable from the 4 seeded hot
+    // hosts through the in-host trees + every-7th cross links, and the soak
+    // adds /missing-forever urls on top — seen must cover the corpus
+    val corpusUrls = corpus.filter(!col("url").endsWith("/robots.txt")).count()
+
+    walls.grouped(20).zipWithIndex.foreach { case (g, i) =>
+      System.err.println(f"rounds ${g.head._1}%3d-${g.last._1}%3d: " +
+        f"median wall ${median(g.map(_._2))}%5.2fs  " +
+        f"median selected ${g.map(_._3.toDouble).sorted.apply(g.size / 2)}%6.0f")
+    }
+    println(s"""{"rounds":$rounds,"kill_resume_at":[${killAt.mkString(",")}],""" +
+      f""""median_wall_early":$early%.3f,"median_wall_late":$late%.3f,""" +
+      f""""late_over_early":${late / math.max(early, 1e-9)}%.3f,""" +
+      s""""metrics_gapless":$gapless,"seen_urls":$seen,"corpus_urls":$corpusUrls,""" +
+      s""""seen_covers_corpus":${seen >= corpusUrls},""" +
+      s""""files":[${fileLog.mkString(",")}]}""")
+    spark.stop()
+  }
+}

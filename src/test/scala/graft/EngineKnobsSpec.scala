@@ -606,6 +606,38 @@ class EngineKnobsSpec extends AnyFunSuite {
     assert((p.json eq p.json) && p.json.path("a").size() === 3)
   }
 
+  test("G1 event averages: metrics avg_fetch/process_time equal the TimeModel means") {
+    import graft.engine.TimeModel
+    import graft.process.HtmlLite
+    val urls = (0 to 2).map(i => s"http://a.example/p/$i")
+    val pages = Seq(page(urls(0), urls.tail, "t0"), page(urls(1), Nil, "t1"),
+      page(urls(2), Nil, "t2"), robots("a.example"))
+    val eng = mkEngine(pages, Seq(ProjectSpec(unbounded("g1avg"),
+      seeds = Seq(urls(0)))))
+    eng.crawl(Nil, maxRounds = 6)
+    // LAW (counter.py:325-427 analog): every round's (avg, processed) pair
+    // recovers that round's EXACT total micros — summing the recovered
+    // totals over the crawl must equal the TimeModel evaluated page-by-page,
+    // independent of round boundaries and partitioning.
+    val m = eng.metricsDF().filter(col("processed") > 0)
+      .select("processed", "avg_fetch_time", "avg_process_time").collect()
+    val gotFetchUs = m.map(r =>
+      math.round(r.getDouble(1) * r.getLong(0) * 1e6)).sum
+    val gotProcUs = m.map(r =>
+      math.round(r.getDouble(2) * r.getLong(0) * 1e6)).sum
+    val (expFetchUs, expProcUs) = pages.filterNot(_.url.endsWith("/robots.txt"))
+      .map { p =>
+        val decoded = new String(p.html, "utf-8")
+        (TimeModel.fetchUs(p.html.length),
+          TimeModel.processUs(decoded.length,
+            HtmlLite.extractLinks(decoded, p.url).size))
+      }.foldLeft((0L, 0L)) { case ((f, pr), (a, b)) => (f + a, pr + b) }
+    assert(gotFetchUs === expFetchUs,
+      s"fetch micros: metrics=$gotFetchUs model=$expFetchUs")
+    assert(gotProcUs === expProcUs,
+      s"process micros: metrics=$gotProcUs model=$expProcUs")
+  }
+
   test("F5 deterministic UA pick is stable and spread") {
     import graft.functions.UaPool
     val urls = (0 until 64).map(i => s"http://site$i.example/p/$i")
