@@ -6,6 +6,15 @@ import graft.process.HtmlLite
 import graft.url.UrlCanon
 import Q.{frontier, table, FRONTIER_SQL}
 
+/** UDF result rows for UrlQueries. TOP-LEVEL on purpose: nested inside the
+  * object, janino could not resolve their accessors in the encoder's
+  * generated code ("no applicable method ... UrlQueries$CurlOut.gz()") and
+  * every struct projection fell back to interpreted eval. */
+private[queries] case class CurlOut(purl: String, method: String, data: String,
+    hdr: String, gz: Boolean)
+private[queries] case class JsonOut(id: Long, name: String, item0: String,
+    n_items: Int)
+
 /** SURVEY §2.7 expression library + §2.5 parse/extract operators as gate
   * queries. The Spark side runs the REAL engine functions (UrlCanon /
   * HtmlLite as UDFs); the DuckDB oracle reconstructs the expected output
@@ -16,8 +25,6 @@ object UrlQueries {
   /** E11 — run the REAL CurlParse on a synthesized `curl` line; flattened
     * for the oracle (headers rendered "k=v" sorted, ';'-joined). `method`
     * goes through fetchOpts so the data-implies-POST default is gated too. */
-  private case class CurlOut(purl: String, method: String, data: String,
-      hdr: String, gz: Boolean)
   private val curlUdf = udf((line: String) => {
     val a = graft.url.CurlParse.toArguments(line)
     CurlOut(a.urls.head, a.fetchOpts.method, a.data.orNull,
@@ -27,7 +34,6 @@ object UrlQueries {
   })
 
   /** P5 — the REAL FetchedPage.json accessor (Response.json analog). */
-  private case class JsonOut(id: Long, name: String, item0: String, n_items: Int)
   private val pageJsonUdf = udf((body: String) => {
     val p = graft.process.FetchedPage("http://x", 200, Array.emptyByteArray,
       "utf-8", body, "", 0L, null)
