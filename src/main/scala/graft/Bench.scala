@@ -288,7 +288,13 @@ object Bench {
       try {
         val a = crawlCluster(wN, benchPages, benchHosts, benchBranch, memGb)
         val b = crawlCluster(w4N, benchPages, benchHosts, benchBranch, memGb)
-        (a, b, s"standalone-cluster-${wN}x4-vs-${w4N}x4")
+        // record WHICH fetch path the scaling number measured (VERDICT r3
+        // item 3): the bucketed corpus table (production default) or the
+        // legacy cached view (GRAFT_CORPUS_CACHE=1)
+        val fetchPath =
+          if (sys.env.contains("GRAFT_CORPUS_CACHE")) "corpus-cache"
+          else "corpus-table"
+        (a, b, s"standalone-cluster-${wN}x4-vs-${w4N}x4-$fetchPath")
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] cluster protocol failed (${e.getMessage}); " +
