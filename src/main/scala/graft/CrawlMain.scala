@@ -78,6 +78,10 @@ object CrawlMain {
       checkpointDir = checkpoint,
       liveBuckets = a.getOrElse("live-buckets", "32").toInt,
       compactEvery = a.getOrElse("compact-every", "16").toInt,
+      // production default ON: routine table maintenance (Iceberg
+      // expire_snapshots analog) — historical readLive(k) time travel is a
+      // dev affordance, not part of the crawl contract
+      expireKeepLast = a.getOrElse("expire-keep-last", "8").toInt,
       broadcastFetchMax = a.getOrElse("broadcast-max", "200000").toLong,
       // bucketed corpus working table (the 100-TB fetch-join shape) lives
       // beside the checkpoint unless placed explicitly

@@ -54,6 +54,13 @@ case class EngineConfig(
     // stops unioning every round dir (round cost stays flat over a long
     // crawl); 0 disables
     compactEvery: Int = 16,
+    // snapshot expiration (Iceberg expire_snapshots analog), run at the
+    // compaction cadence: drop live/delta/token state unreachable from the
+    // head (keeping this margin of recent rounds) plus archive deltas folded
+    // into the latest compaction. 0 disables — the library default, so
+    // historical readLive(k) time travel keeps working in dev/tests;
+    // CrawlMain (the production main) turns it on.
+    expireKeepLast: Int = 0,
     // bucketed copy-on-write live snapshots (Iceberg-manifest analog): the
     // frontier is hash-bucketed by taskid and a round rewrites ONLY the
     // buckets its selected/candidate keys touch — O(changed), not O(|live|),
@@ -1052,6 +1059,11 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
         bucketBlooms = Some((store.bloomsDir(n), cfg.bloomBuckets))
         seenBloom = Some(emptyDeltaBloom())
       }
+      // expire superseded state at the same cadence (table maintenance):
+      // bounds the store's file count over a long crawl — without it the
+      // soak measured ~90 dead state files/round, linear in rounds
+      if (cfg.expireKeepLast > 0)
+        timed("expireSnapshots")(store.expireSnapshots(cfg.expireKeepLast))
     }
 
     RoundStats(n, now, selectedCount, liveRows, archRows, resultRows)

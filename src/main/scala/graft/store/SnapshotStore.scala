@@ -870,6 +870,97 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     dead.foreach(p => fs.delete(tombstone(p), false))
   }
 
+  // ---- snapshot expiration (Iceberg expire_snapshots analog) -------------
+  // Without it the store's STATE footprint grows O(rounds) forever: every
+  // round leaves its live buckets / MOR delta dirs / token carry behind even
+  // after later materializations supersede them, and the raw per-round
+  // archive delta dirs survive the compactions that folded them (measured in
+  // the r4 soak: ~90 state files/round, linear). A multi-month crawl at
+  // production cadence is 10^5-10^6 rounds — unbounded small-file metadata
+  // is a real 100-TB operational failure mode, which is exactly why Iceberg
+  // ships expire_snapshots as routine table maintenance.
+
+  /** Drop state unreachable from the LATEST committed round. Keeps
+    *  - every round's `_MANIFEST.json` commit marker (cheap metadata
+    *    history — `committedRounds()` and the metrics/results readers
+    *    iterate it; deleting it would un-commit the round's product rows);
+    *  - results/html/metrics dirs (sink output — legitimate data growth);
+    *  - all state of rounds within `keepLast` of the head, reachable or not
+    *    (resume margin), and everything the head's live chain references:
+    *    the manifest's source-round bucket dirs, the MOR delta chain back
+    *    to its base, live_ref targets.
+    * Drops, for every other committed round: live/ bucket dirs,
+    * live_manifest.json, live_delta/ + marker, live_ref, tokens/, control/;
+    * plus raw archive `round=` dirs already folded into the latest
+    * compaction. Historical `readLive(k)` for an expired k stops working —
+    * the Iceberg expire_snapshots contract (readers target the head).
+    * Crash-safe and idempotent: only unreachable data is deleted, in
+    * arbitrary order — a partial expire leaves every reader's view intact
+    * and a re-run finishes the job. Returns the number of deleted paths. */
+  def expireSnapshots(keepLast: Int = 8): Long = {
+    val rounds = committedRounds()
+    if (rounds.isEmpty) return 0L
+    val latest = rounds.last
+
+    // live-state reachability from the head, following every layout:
+    // bucketed manifest (bucket -> source round), plain live dir, MOR delta
+    // chain (every delta round down to the materialized base), live_ref
+    val reach = scala.collection.mutable.Set[Long]()
+    def mark(r: Long): Unit = {
+      if (reach(r)) return
+      reach += r
+      if (fs.exists(liveManifestPath(r))) {
+        readLiveManifest(r).foreach(_.values.foreach { case (src, _) => mark(src) })
+      } else if (fs.exists(new Path(s"${roundDir(r)}/live"))) {
+        () // materialized (bucket dirs or plain sorted) — terminal
+      } else if (fs.exists(liveDeltaMarker(r))) {
+        liveDeltaInfo(r).foreach { case (base, _) =>
+          ((base + 1) until r).foreach { k =>
+            if (fs.exists(liveDeltaMarker(k))) reach += k }
+          mark(base)
+        }
+      } else {
+        val refP = new Path(s"${roundDir(r)}/live_ref")
+        if (fs.exists(refP)) {
+          val in = fs.open(refP)
+          val bytes = new Array[Byte](fs.getFileStatus(refP).getLen.toInt)
+          in.readFully(bytes); in.close()
+          mark(new String(bytes, "UTF-8").trim.toLong)
+        }
+      }
+    }
+    mark(latest)
+
+    var deleted = 0L
+    def drop(p: Path, recursive: Boolean): Unit =
+      if (fs.exists(p)) { fs.delete(p, recursive); deleted += 1 }
+
+    val keepFloor = latest - math.max(keepLast, 1)
+    rounds.filter(_ < keepFloor).foreach { r =>
+      // tokens and control packs are strictly per-round (written fresh,
+      // read only by the following round) — expirable even when the
+      // round's LIVE payload is still referenced by a head manifest
+      Seq("tokens", "control")
+        .foreach(s => drop(new Path(s"${roundDir(r)}/$s"), recursive = true))
+      if (!reach(r)) {
+        Seq("live", "live_delta")
+          .foreach(s => drop(new Path(s"${roundDir(r)}/$s"), recursive = true))
+        Seq("live_manifest.json", "live_delta.json", "live_ref")
+          .foreach(f => drop(new Path(s"${roundDir(r)}/$f"), recursive = false))
+      }
+    }
+
+    // archive deltas folded into the latest compaction are dead: readers
+    // (readArchive / readArchiveDeltasAfter) always overlay the latest
+    // compaction and only union round dirs ABOVE it
+    compactions().lastOption.foreach { c =>
+      rounds.filter(_ <= c).foreach { k =>
+        drop(new Path(s"$root/archive/round=$k"), recursive = true)
+      }
+    }
+    deleted
+  }
+
   def readMetrics(): DataFrame = {
     val dirs = committedRounds().map(n => s"$root/metrics/round=$n")
       .filter(d => fs.exists(new Path(d)))

@@ -78,6 +78,10 @@ object Soak {
         cronEverySec = 150L, // O10: re-inject seeds every 5 rounds
         callbacks = Map("soak_page" -> soakHandler))),
       roundDt = 30.0, checkpointDir = ckpt, useBloom = true,
+      // production maintenance posture: snapshot expiration at compaction
+      // cadence — the soak's bounded-file-growth claim is measured WITH it,
+      // as a real deployment would run
+      expireKeepLast = 8,
       seeds = seeds))
 
     def fileCount(): Long = {
@@ -92,11 +96,13 @@ object Soak {
     val segments = (killAt :+ rounds).distinct.sorted
     var walls = Vector.empty[(Int, Double, Long)] // (round, wallSec, selected)
     var fileLog = Vector.empty[String]
+    var seenAtKill = Vector.empty[Long] // seen count at each segment end
     var prev = 0
     for (seg <- segments) {
       val engine = mkEngine() // fresh JVM-state engine == resume-from-kill
       val stats = engine.crawl(seeds, maxRounds = seg)
       walls ++= stats.map(st => (st.round.toInt, st.wallSec, st.selected))
+      seenAtKill :+= engine.seenUrls().count()
       val before = fileCount()
       engine.store.vacuum()
       val after = fileCount()
@@ -111,16 +117,19 @@ object Soak {
     val early = median(walls.filter(w => w._1 >= 20 && w._1 < 60).map(_._2))
     val late = median(walls.filter(w => w._1 >= rounds - 50).map(_._2))
 
-    // gapless metrics + closure despite kills
+    // gapless metrics + seen-set preservation despite kills. (An earlier
+    // version asserted seen >= corpusUrls — a wrong closure floor: only 4 of
+    // 16 hosts are seeded and cross-links enter other hosts MID-TREE, so
+    // part of the corpus is genuinely unreachable; BFS-closure correctness
+    // is the crawl_bfs_seen gate's job, not the soak's. What a kill/resume
+    // soak must prove about the seen-set is that resume never LOSES it.)
     val verifyEngine = mkEngine()
     val metricRounds = verifyEngine.metricsDF().select("round")
       .distinct().as[Long].collect().sorted
     val gapless = metricRounds.length >= rounds &&
       (1L to rounds.toLong).forall(metricRounds.contains)
     val seen = verifyEngine.seenUrls().count()
-    // closure floor: every corpus url is reachable from the 4 seeded hot
-    // hosts through the in-host trees + every-7th cross links, and the soak
-    // adds /missing-forever urls on top — seen must cover the corpus
+    val seenMonotone = seenAtKill.zip(seenAtKill.tail).forall { case (a, b) => b >= a }
     val corpusUrls = corpus.filter(!col("url").endsWith("/robots.txt")).count()
 
     walls.grouped(20).zipWithIndex.foreach { case (g, i) =>
@@ -132,7 +141,8 @@ object Soak {
       f""""median_wall_early":$early%.3f,"median_wall_late":$late%.3f,""" +
       f""""late_over_early":${late / math.max(early, 1e-9)}%.3f,""" +
       s""""metrics_gapless":$gapless,"seen_urls":$seen,"corpus_urls":$corpusUrls,""" +
-      s""""seen_covers_corpus":${seen >= corpusUrls},""" +
+      s""""seen_at_kill_points":[${seenAtKill.mkString(",")}],""" +
+      s""""seen_nondecreasing_across_kills":$seenMonotone,""" +
       s""""files":[${fileLog.mkString(",")}]}""")
     spark.stop()
   }
