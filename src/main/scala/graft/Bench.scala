@@ -28,7 +28,7 @@ object Bench {
     "q1_agg", "q3_revenue_topk", "w1_running_window", "ev_sessionize",
     "s1_seed_scan", "d2_seen_antijoin", "o6_host_budget", "o1_priority_topk",
     "g1_window_counts", "dedup_simhash", "minhash_signatures",
-    "t_fingerprint", "ann_lsh_hyperplane", "emb_neardup_hp")
+    "t_fingerprint", "ann_lsh_hyperplane", "emb_neardup_hp", "ann_ivf")
 
   // ---------------------------------------------------------------- cluster
   /** Crawl-session tuning, applied identically at both cluster sizes:
