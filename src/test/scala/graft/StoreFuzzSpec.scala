@@ -75,6 +75,7 @@ class StoreFuzzSpec extends AnyFunSuite {
       // round 0: initial materialization
       model = (0 until 120).map(mkTask(_, 0)).map(t => key(t) -> t).toMap
       writeMat(0)
+      store.commit(0, 0.0, model.size, 0, 0, 0, 0, Seq("live" -> model.size))
 
       var n = 0L
       var lastManifested = true // does round n carry a bucket manifest?
@@ -115,6 +116,15 @@ class StoreFuzzSpec extends AnyFunSuite {
               lastManifested = false
             }
         }
+
+        store.commit(n, 0.0, model.size, 0, 0, 0, 0,
+          Seq("live" -> model.size))
+        // snapshot expiration fuzz: expiring mid-sequence (tight keepLast)
+        // must NEVER change what a reader of the head sees — every layout
+        // interleaving the sequence produced so far (manifest inheritance,
+        // delta chains over expired neighbors, live_ref hops) resolves
+        // identically after the physical deletes
+        if (rnd.nextInt(4) == 0) store.expireSnapshots(keepLast = 2)
 
         val got = store.readLive(n).collect().map(sig).toSet
         val want = model.values.map(sig).toSet
