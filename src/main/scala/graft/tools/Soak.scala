@@ -144,6 +144,11 @@ object Soak {
       s""""seen_at_kill_points":[${seenAtKill.mkString(",")}],""" +
       s""""seen_nondecreasing_across_kills":$seenMonotone,""" +
       s""""files":[${fileLog.mkString(",")}]}""")
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
+      f.delete()
+    }
+    rmRf(new java.io.File(ckpt)) // /dev/shm is RAM — don't leak it
     spark.stop()
   }
 }
