@@ -141,4 +141,32 @@ class UrlCanonSpec extends AnyFunSuite {
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("property: idempotence holds on hostile inputs (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    // URLs a real frontier sees: stray percent-escapes (valid and torn),
+    // '+', dot-segments, double slashes, explicit ports, mixed-case scheme
+    // and host, empty query values, fragments, non-ASCII — the taskid is
+    // md5(canonicalize(url)), so ANY non-idempotent input re-keys a task on
+    // re-crawl and splits its history
+    val seg = Gen.oneOf("a", "b%20c", "d+e", "%2F", "%zz", "..", "", "中文",
+      "a b", "~x", "A%3f", ".")
+    val segs = Gen.listOfN(3, seg).map(_.mkString("/"))
+    val scheme = Gen.oneOf("http", "HTTP", "https")
+    val host = Gen.oneOf("Example.COM", "h.example.com", "site0.example")
+    val port = Gen.oneOf("", ":80", ":8080")
+    val query = Gen.oneOf("", "?", "?a=b=c", "?x=&y", "?我=1", "?a=%20+%2B")
+    val frag = Gen.oneOf("", "#f", "#a b")
+    val gen = for {
+      sc <- scheme; h <- host; p <- port; s <- segs; q <- query; f <- frag
+    } yield s"$sc://$h$p/$s$q$f"
+    val prop = Prop.forAll(gen) { u =>
+      val c = canonicalize(u)
+      val cc = canonicalize(c)
+      if (cc != c) { System.err.println(s"NON-IDEMPOTENT: $u -> $c -> $cc") }
+      cc == c
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
