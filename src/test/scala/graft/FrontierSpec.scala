@@ -155,4 +155,50 @@ class FrontierSpec extends AnyFunSuite {
     assert(Retry.delayFor(4) === 12 * 3600.0)
     assert(Retry.delayFor(5) === 24 * 3600.0)
   }
+
+  test("property: candidate merge is permutation-invariant; staged merge " +
+      "preserves the merged fields (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    // batches drawn from a SMALL key/priority pool so key collisions and
+    // priority TIES are common — the regime where a run-order-dependent
+    // tie-break (the r1 bug class) or a staged-merge drift would show
+    val genTask = for {
+      id <- Gen.oneOf("a", "b", "c", "d")
+      prio <- Gen.choose(0, 2)
+      exe <- Gen.choose(0, 3).map(_.toDouble)
+      depth <- Gen.choose(0, 3)
+      fu <- Gen.oneOf(true, false)
+      host <- Gen.oneOf("h0", "h1")
+      seq <- Gen.choose(0L, 2L)
+    } yield mkTask(id, host = host, prio = prio, exetime = exe,
+      depth = depth, seq = seq)
+      .copy(schedule = Schedule(priority = prio, exetime = exe,
+        force_update = fu))
+    val genBatch = Gen.listOfN(12, genTask)
+
+    def sigAll(ts: Seq[Task]) = ts.map(t => (t.taskid, t)).sortBy(_._1)
+    def sigMerged(ts: Seq[Task]) = ts.map(t => (t.taskid,
+      t.schedule.priority, t.schedule.exetime, t.schedule.force_update,
+      t.depth)).sortBy(_._1)
+
+    val prop = Prop.forAll(genBatch, Gen.choose(0, 11)) { (batch, cut) =>
+      val merged = Frontier.mergeCandidates(batch.toDS()).collect().toSeq
+      // 1. permutation invariance: FULL-row equality whatever the input
+      // order (the documented deterministic total order)
+      val shuffled = Frontier.mergeCandidates(
+        batch.reverse.toDS()).collect().toSeq
+      // 2. staged merge (the production shape: follows collapsed first,
+      // then merged with cron/control legs) preserves the D5/D6 merged
+      // fields exactly
+      val (a, b) = batch.splitAt(cut)
+      val staged = Frontier.mergeCandidates(
+        (Frontier.mergeCandidates(a.toDS()).collect().toSeq ++ b).toDS())
+        .collect().toSeq
+      sigAll(shuffled) == sigAll(merged) &&
+        sigMerged(staged) == sigMerged(merged)
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
