@@ -939,9 +939,11 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
     rounds.filter(_ < keepFloor).foreach { r =>
       // tokens and control packs are strictly per-round (written fresh,
       // read only by the following round) — expirable even when the
-      // round's LIVE payload is still referenced by a head manifest
-      Seq("tokens", "control")
-        .foreach(s => drop(new Path(s"${roundDir(r)}/$s"), recursive = true))
+      // round's LIVE payload is still referenced by a head manifest.
+      // NB control lives under $root/control/round=N (writeControl), not
+      // under the round dir — deleting the latter was a silent no-op.
+      drop(new Path(s"${roundDir(r)}/tokens"), recursive = true)
+      drop(new Path(s"$root/control/round=$r"), recursive = true)
       if (!reach(r)) {
         Seq("live", "live_delta")
           .foreach(s => drop(new Path(s"${roundDir(r)}/$s"), recursive = true))
@@ -950,11 +952,21 @@ class SnapshotStore(val root: String)(implicit spark: SparkSession) {
       }
     }
 
-    // archive deltas folded into the latest compaction are dead: readers
-    // (readArchive / readArchiveDeltasAfter) always overlay the latest
-    // compaction and only union round dirs ABOVE it
+    // archive deltas folded into the latest compaction are dead for the
+    // plain readers (readArchive / readArchiveDeltasAfter always overlay the
+    // latest compaction and only union round dirs ABOVE it) — but the bloom
+    // resume path reads readArchiveDeltasAfter(c_bloom, upTo) where c_bloom
+    // is the latest COMPLETED bucket-bloom compaction, which can lag the
+    // latest compaction (torn buildArchiveBlooms). Bound the deletion by
+    // min(latest compaction, latest bloom compaction) so a direct expire in
+    // that state can't starve the delta-bloom rebuild (false negatives =
+    // seen tasks re-admitted).
     compactions().lastOption.foreach { c =>
-      rounds.filter(_ <= c).foreach { k =>
+      val floor = latestArchiveBlooms(latest) match {
+        case Some((cBloom, _)) => math.min(c, cBloom)
+        case None              => c
+      }
+      rounds.filter(_ <= floor).foreach { k =>
         drop(new Path(s"$root/archive/round=$k"), recursive = true)
       }
     }

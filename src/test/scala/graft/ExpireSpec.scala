@@ -107,9 +107,21 @@ class ExpireSpec extends AnyFunSuite {
     assert((1L to (n + 2)).forall(mRounds.contains),
       s"metrics gap after expiry+resume: ${mRounds.mkString(",")}")
 
+    // ADVICE r4 (medium): control packs live at $root/control/round=N
+    // (writeControl), NOT under the round dir — the r4 expire deleted the
+    // nonexistent round-dir path, silently leaking control dirs O(rounds).
+    // Plant packs at early rounds and require expire to remove them.
+    val ctl = eA2.store.readLive(eA2.store.lastCommitted().get).limit(1)
+    (1L to 4L).foreach(r => eA2.store.writeControl(r, ctl))
+    assert((1L to 4L).forall(r =>
+      new java.io.File(s"$ckptA/control/round=$r").exists()))
+
     // 4. idempotence: nothing further to delete, head unchanged
     val before = liveSet(eA2)
     eA2.store.expireSnapshots(keepLast = 4)
+    assert((1L to 4L).forall(r =>
+      !new java.io.File(s"$ckptA/control/round=$r").exists()),
+      "early rounds' control packs survived expiry")
     val second = eA2.store.expireSnapshots(keepLast = 4)
     assert(second === 0L, s"second expire deleted $second paths")
     assert(liveSet(eA2) === before)
