@@ -10,33 +10,117 @@ class MultimodalSpec extends AnyFunSuite {
   implicit lazy val spark: SparkSession = SparkTestBase.spark
   import spark.implicits._
 
-  test("magic-byte sniffing is real; metadata stub is deterministic") {
+  test("magic-byte sniffing covers every decodable container") {
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 1, 2)
     val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
     val mp4 = "....ftypisom....".getBytes("ASCII")
-    val wav = "RIFF....WAVE".getBytes("ASCII")
+    val wav = "RIFFxxxxWAVE".getBytes("ASCII")
+    val bmp = "BMxxxxxx".getBytes("ASCII")
+    val gif = "GIF89ax".getBytes("ASCII")
     assert(Multimodal.sniffFormat(png) === "png")
     assert(Multimodal.sniffFormat(jpg) === "jpeg")
     assert(Multimodal.sniffFormat(mp4) === "mp4")
     assert(Multimodal.sniffFormat(wav) === "wav")
+    assert(Multimodal.sniffFormat(bmp) === "bmp")
+    assert(Multimodal.sniffFormat(gif) === "gif")
     assert(Multimodal.sniffFormat("hello".getBytes) === "bin")
-    assert(Multimodal.stubDecode(png) === Multimodal.stubDecode(png.clone()))
+  }
+
+  test("png/bmp/gif decode is REAL: ImageIO recovers exact generator pixels") {
+    for (fmt <- Seq("png", "bmp", "gif"); d <- Seq(0L, 3L, 17L, 252L)) {
+      val bytes = Multimodal.synthImage(d, fmt)
+      val meta = Multimodal.decode(bytes)
+      val (w, h) = Multimodal.synthImageDims(d)
+      assert(meta.format === fmt, s"$fmt d=$d")
+      assert(meta.width === Some(w) && meta.height === Some(h), s"$fmt d=$d dims")
+      // ground-truth pixel hash straight from the formula — the decoder
+      // must recover every pixel exactly (all three formats are lossless
+      // for this palette-bounded fixture)
+      var expect = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        expect += (Multimodal.synthRgb(d, x, y) & 0xffffff).toLong * (y.toLong * w + x + 1)
+      assert(meta.pxHash === Some(expect), s"$fmt d=$d pixel hash")
+      assert(meta.durationMs === None)
+    }
+  }
+
+  test("wav duration is REAL RIFF arithmetic") {
+    for (d <- Seq(1L, 4L, 7L, 103L)) {
+      val bytes = Multimodal.synthWav(d)
+      val (rate, channels, frames) = Multimodal.synthWavParams(d)
+      val meta = Multimodal.decode(bytes)
+      assert(meta.format === "wav")
+      assert(meta.bytes === 44L + frames * channels * 2)
+      // dataLen*1000/byteRate with blockAlign cancelling = frames*1000/rate
+      assert(meta.durationMs === Some(frames * 1000L / rate), s"d=$d")
+      assert(meta.width === None && meta.pxHash === None)
+    }
+    // truncated header → no duration, still typed
+    assert(Multimodal.decode("RIFFxxxxWAVE".getBytes("ASCII")).durationMs === None)
+  }
+
+  test("jpeg/mp4 stay a labeled deterministic stub (codec-bound)") {
+    val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
+    val m1 = Multimodal.decode(jpg); val m2 = Multimodal.decode(jpg.clone())
+    assert(m1 === m2 && m1.format === "jpeg" && m1.width.isDefined)
+    assert(m1.pxHash === None) // no fake pixel evidence from the stub
+  }
+
+  test("frame sampling: decoded pixel rows (image) and PCM windows (wav)") {
+    val d = 6L
+    val png = Multimodal.synthImage(d, "png")
+    val (w, h) = Multimodal.synthImageDims(d)
+    val frames = Multimodal.frameSample(png, 4)
+    assert(frames.length === 4)
+    assert(frames.forall(_.length === w * 3)) // one packed-RGB row each
+    for (i <- 0 until 4) {
+      val y = (h.toLong * i / 4).toInt
+      val expect = (0 until w).flatMap { x =>
+        val p = Multimodal.synthRgb(d, x, y)
+        Seq(((p >> 16) & 0xff).toByte, ((p >> 8) & 0xff).toByte, (p & 0xff).toByte)
+      }
+      assert(frames(i).toSeq === expect, s"row $i")
+    }
+
+    val dw = 7L
+    val wav = Multimodal.synthWav(dw)
+    val (_, channels, nFrames) = Multimodal.synthWavParams(dw)
+    val dataLen = nFrames * channels * 2
+    val wf = Multimodal.frameSample(wav, 4)
+    assert(wf.length === 4 && wf.forall(_.length === 16))
+    for (i <- 0 until 4) {
+      val start = (dataLen.toLong * i / 4).toInt
+      val expect = (0 until 16).map(j => ((dw * 3 + (start + j) * 7) % 256).toByte)
+      assert(wf(i).toSeq === expect, s"window $i")
+    }
+
+    assert(Multimodal.frameSample(Array.emptyByteArray, 4).isEmpty)
+    // undecodable → labeled slice stub, still k frames
+    assert(Multimodal.frameSample("plain text payload".getBytes, 4).length === 4)
   }
 
   test("decodeBatch: partition-parallel, schema + batch shape") {
     val media = spark.createDataset(
-      (0L until 100L).map(i => Multimodal.MediaRow(i, ("x" * (i.toInt + 1)).getBytes)))
+      (0L until 60L).map(i => Multimodal.MediaRow(i, Multimodal.synthPayload(i, "x" * (i.toInt + 1)))))
       .repartition(4)
-    val out = Multimodal.decodeBatch(media, frames = 3).collect()
-    assert(out.length === 100)
-    out.foreach { d =>
-      assert(d.meta.bytes === d.doc_id + 1)
-      assert(d.frames.length === 3)
-      assert(d.frames.forall(_.length <= 16))
+    val out = Multimodal.decodeBatch(media, frames = 4).collect()
+    assert(out.length === 60)
+    out.foreach { r =>
+      r.doc_id % 3 match {
+        case 0 =>
+          val (w, h) = Multimodal.synthImageDims(r.doc_id)
+          assert(r.meta.format === "png" && r.meta.width === Some(w) &&
+            r.meta.height === Some(h) && r.meta.pxHash.isDefined)
+        case 1 =>
+          assert(r.meta.format === "wav" && r.meta.durationMs.isDefined)
+        case _ =>
+          assert(r.meta.format === "bin" && r.meta.width === None)
+      }
+      assert(r.frames.length === 4)
     }
     // empty payload → no frames, still typed
     val empty = Multimodal.decodeBatch(
-      spark.createDataset(Seq(Multimodal.MediaRow(0L, Array.emptyByteArray))), 3).head()
+      spark.createDataset(Seq(Multimodal.MediaRow(0L, Array.emptyByteArray))), 4).head()
     assert(empty.frames.isEmpty && empty.meta.bytes === 0L)
   }
 }
