@@ -13,7 +13,8 @@ object VectorExpr {
     * primitive loop, safe to evaluate inside join conditions */
   def dotL(a: Column, b: Column): Column = VectorKernels.dotL(a, b)
 
-  /** signed deterministic-LCG hyperplane projection of a quantized vector */
-  def lcgSignedSum(q: Column, plane: Int): Column =
-    VectorKernels.lcgSignedSum(q, plane)
+  /** signed hyperplane projection of a quantized vector (md5-derived sign
+    * family — see `org.apache.spark.sql.graft.HpSigns`) */
+  def hpSignedSum(q: Column, plane: Int): Column =
+    VectorKernels.hpSignedSum(q, plane)
 }

@@ -41,10 +41,13 @@ object VectorQueries {
   // ---- random-hyperplane LSH (the scale path) ---------------------------
   // The fixed-first-8-dims sign bucketing of ann_lsh_buckets caps at 256
   // buckets; real recall/scale needs b bands × r seeded random hyperplanes.
-  // Hyperplane components are DETERMINISTIC ±1 draws from an integer LCG on
+  // Hyperplane components are DETERMINISTIC ±1 draws from md5 on
   // (plane, dim) — exact in both engines, no float RNG:
-  //   bit(p,d) = ((1103515245*(p*4096+d) + 12345) mod 2^31) div 2^15 mod 2
-  //   s(p,d)   = +1 if bit = 0 else -1
+  //   s(p,d) = +1 iff the first hex digit of md5('hp:p:d') is even
+  // (r5: the previous LCG draw satisfied sign(p+8,d) = -sign(p,d) exactly —
+  // only 8 distinct hyperplanes existed in the whole family, so bands past
+  // 8/bits repeated earlier partitions and recall stopped rising; see
+  // org.apache.spark.sql.graft.HpSigns for the arithmetic.)
   //
   // SCALE PARAMETERS (r3 verdict item 1 — no compile-time bench constants):
   //  - bits/band sizes the bucket space to the table: bits = clamp(4..30,
@@ -75,18 +78,19 @@ object VectorQueries {
     * side derives the same value from the actual count at run time. */
   private val GATE_BITS = hpBitsFor(500) // = 4
 
-  /** deterministic ±1 from the (plane, dim) LCG — SQL fragment, `pos` free */
+  /** deterministic ±1 from md5(plane, dim) — SQL fragment, `pos` free;
+    * DuckDB twin of `HpSigns.sign` */
   private def hpSignSql(p: Int): String =
-    s"(CASE WHEN ((1103515245::BIGINT * (${p * 4096} + pos) + 12345) % 2147483648) // 32768 % 2 = 0 THEN 1 ELSE -1 END)"
+    s"(CASE WHEN substring(md5('hp:$p:' || CAST(pos AS VARCHAR)), 1, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END)"
 
   /** All plane projections computed IN-ROW over the quantized array —
     * zero shuffle (r3 used posexplode + groupBy: an n×64-row exchange just
     * to sum 16 products per vector). Each projection is one fused native
-    * loop (`LcgSignedSum`) inside whole-stage codegen, not an interpreted
+    * loop (`HpSignedSum`) inside whole-stage codegen, not an interpreted
     * `aggregate(zip_with(...))` per plane. */
   private def hpProjected(s: SparkSession, dir: String, planes: Int): DataFrame = {
     val cols = (0 until planes).map { p =>
-      graft.functions.VectorExpr.lcgSignedSum(col("q"), p).as(s"s$p")
+      graft.functions.VectorExpr.hpSignedSum(col("q"), p).as(s"s$p")
     }
     quantized(s, dir).select(col("vec_id") +: cols: _*)
   }
@@ -206,7 +210,12 @@ object VectorQueries {
   private val IVF_TOPK = 5
   def ivfKFor(nCand: Long): Int =
     math.max(8, math.min(65536, math.round(math.sqrt(nCand.toDouble)).toInt))
-  private val GATE_IVF_K = ivfKFor(490) // sf0.01 fixture: 490 candidates
+  // The oracle-SQL twin of ivfKFor, computed from the ACTUAL candidate
+  // count in-query (ADVICE r4: a constant baked from the sf0.01 fixture
+  // silently trained a different quantizer on any other fixture). DuckDB's
+  // round() and math.round agree (half-up) for positive sqrt values.
+  private val IVF_K_SQL =
+    "(SELECT GREATEST(8, LEAST(65536, CAST(round(sqrt(COUNT(*))) AS BIGINT))) FROM cand)"
 
   /** near-dup acceptance threshold: 0.35 — sized so the sf0.01 gate fixture
     * (500 random-ish vectors, max in-bucket cosine 0.43-0.51) yields REAL
@@ -411,7 +420,7 @@ object VectorQueries {
          | qry AS (SELECT q.vec_id, q.q, nn.n2 FROM q JOIN nn USING (vec_id)
          |   WHERE q.vec_id < 10),
          | c0 AS (SELECT vec_id AS cid, q AS c, n2 AS cn2 FROM cand
-         |   WHERE vec_id < 10 + $GATE_IVF_K),
+         |   WHERE vec_id < 10 + $IVF_K_SQL),
          | a0 AS (
          |  SELECT vec_id, cid FROM (
          |   SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id

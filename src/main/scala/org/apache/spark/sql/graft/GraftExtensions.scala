@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Session-extension registration for the native kernels — the standard
   * Spark extension point (`--conf spark.sql.extensions=
@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * (`graft.functions.VectorExpr` / `DateFormat`) uses:
   *
   *   dot_l(a, b)               exact int64 dot product of two array<bigint>
-  *   lcg_signed_sum(q, base)   signed deterministic-LCG hyperplane projection
+  *   hp_signed_sum(q, plane)   signed deterministic hyperplane projection
   *   format_date(ts, now [, gmt_offset, relative, shorter, full_format])
   *                             pyspider format_date over epoch seconds
   *
@@ -21,11 +21,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * parameters). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def litOf[T](e: Expression, what: String): T = e match {
-    case Literal(v, _) => v.asInstanceOf[T]
-    case other => throw new IllegalArgumentException(
-      s"$what must be a literal, got $other")
-  }
+  // Foldable, not Literal: the parser wraps negative numbers as
+  // UnaryMinus(Literal), and casts/concats of constants are equally fine —
+  // anything Catalyst can constant-fold parameterizes codegen safely.
+  private def litOf[T](e: Expression, what: String): T =
+    if (e.foldable) e.eval().asInstanceOf[T]
+    else throw new IllegalArgumentException(
+      s"$what must be a foldable constant, got $e")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("dot_l"),
@@ -34,11 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "dot_l(a, b) takes 2 arguments")
         DotProductL(args(0), args(1))
       }))
-    ext.injectFunction((FunctionIdentifier("lcg_signed_sum"),
-      new ExpressionInfo(classOf[LcgSignedSum].getName, "lcg_signed_sum"),
+    ext.injectFunction((FunctionIdentifier("hp_signed_sum"),
+      new ExpressionInfo(classOf[HpSignedSum].getName, "hp_signed_sum"),
       (args: Seq[Expression]) => {
-        require(args.length == 2, "lcg_signed_sum(q, base) takes 2 arguments")
-        LcgSignedSum(args(0), litOf[Number](args(1), "base").longValue())
+        require(args.length == 2, "hp_signed_sum(q, plane) takes 2 arguments")
+        HpSignedSum(args(0), litOf[Number](args(1), "plane").intValue())
       }))
     ext.injectFunction((FunctionIdentifier("format_date"),
       new ExpressionInfo(classOf[FormatDate].getName, "format_date"),

@@ -34,16 +34,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r === 32L)
   }
 
-  test("lcg_signed_sum from SQL matches the facade") {
+  test("hp_signed_sum from SQL matches the facade and the md5 sign family") {
     import org.apache.spark.sql.functions._
     val viaSql = ext.sql(
-      "SELECT lcg_signed_sum(array(10, 20, 30, 40), 4096) AS s")
+      "SELECT hp_signed_sum(array(10, 20, 30, 40), 1) AS s")
       .collect().head.getLong(0)
     val viaFacade = ext.range(1)
-      .select(graft.functions.VectorExpr.lcgSignedSum(
+      .select(graft.functions.VectorExpr.hpSignedSum(
         expr("array(10L, 20L, 30L, 40L)"), 1).as("s"))
       .collect().head.getLong(0)
     assert(viaSql === viaFacade)
+    val expect = Seq(10L, 20L, 30L, 40L).zipWithIndex
+      .map { case (v, i) => v * org.apache.spark.sql.graft.HpSigns.sign(1, i + 1) }.sum
+    assert(viaSql === expect)
   }
 
   test("format_date from SQL: 2-arg and 6-arg forms") {
@@ -57,11 +60,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r6 === "Sunday")
   }
 
-  test("non-literal knob arguments are rejected") {
+  test("negative gmt_offset parses (UnaryMinus over a literal is foldable)") {
+    // ADVICE r4: the parser wraps -60 as UnaryMinus(Literal); a strict
+    // Literal match rejected the PRIMARY case of the tornado convention
+    // (negative = east of GMT). Parity vs the facade on a non-relative form
+    // where the offset actually shifts the rendered calendar day.
+    import org.apache.spark.sql.functions._
+    val ts = 1700000000L; val now = 1710000000L
+    val viaSql = ext.sql(
+      s"SELECT format_date($ts, $now, -600, false, false, true) AS s")
+      .collect().head.getString(0)
+    val viaFacade = ext.range(1)
+      .select(graft.functions.DateFormat.formatDate(
+        lit(ts), lit(now), gmtOffset = -600, relative = false,
+        shorter = false, fullFormat = true).as("s"))
+      .collect().head.getString(0)
+    assert(viaSql === viaFacade)
+  }
+
+  test("non-foldable knob arguments are rejected") {
     val e = intercept[Exception] {
-      ext.sql("SELECT lcg_signed_sum(array(1), cast(rand() * 10 as bigint))")
+      ext.sql("SELECT hp_signed_sum(array(1), cast(rand() * 10 as bigint))")
         .collect()
     }
-    assert(e.getMessage.contains("literal"))
+    assert(e.getMessage.contains("foldable"))
   }
 }
