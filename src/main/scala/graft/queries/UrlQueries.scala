@@ -42,9 +42,13 @@ object UrlQueries {
       j.path("items").get(0).path("url").asText(), j.path("items").size())
   })
 
-  private val canonUdf = udf((s: String) => UrlCanon.canonicalize(s))
-  private val mainDomainUdf = udf((s: String) => UrlCanon.mainDomain(s))
-  private val addSchemeUdf = udf((s: String) => UrlCanon.addHttpIfNoScheme(s))
+  // r5: the scalar URL kernels run NATIVE (StringKernels — the same
+  // codegen'd expressions GraftExtensions registers for SQL); the gates
+  // below therefore exercise the production expression path, not a
+  // boxed-String UDF wrapper.
+  private val canonUdf = org.apache.spark.sql.graft.StringKernels.canonicalizeUrl _
+  private val mainDomainUdf = org.apache.spark.sql.graft.StringKernels.mainDomain _
+  private val addSchemeUdf = org.apache.spark.sql.graft.StringKernels.addHttpIfNoScheme _
   private val hasExtUdf = udf((s: String) =>
     UrlCanon.urlHasAnyExtension(s, Set(".jpg", ".pdf", ".zip")))
   private val linksUdf = udf((html: String, base: String) =>
@@ -55,11 +59,12 @@ object UrlQueries {
 
   val all: Seq[Q] = Seq(
 
-    // E1 — md5 taskid parity (libs/utils.py:20)
+    // E1 — md5 taskid parity (libs/utils.py:20); runs the engine's native
+    // TaskIdMd5 kernel (raw UTF-8 bytes, no String round-trip) under gate
     Q("e1_md5",
       "SELECT doc_id, md5(text) AS h FROM documents")(
       (s, dir) => table(s, dir, "documents").select(col("doc_id"),
-        md5(col("text")).as("h"))),
+        org.apache.spark.sql.graft.StringKernels.taskId(col("text")).as("h"))),
 
     // E2/E3 — canonicalization chain (_build_url + quote_chinese,
     // url.py:109-160): fragment dropped, path space %20, %2f protected,

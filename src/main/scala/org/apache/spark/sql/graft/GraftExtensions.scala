@@ -15,6 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   hp_signed_sum(q, plane)   signed deterministic hyperplane projection
   *   format_date(ts, now [, gmt_offset, relative, shorter, full_format])
   *                             pyspider format_date over epoch seconds
+  * plus the engine's scalar URL/text library (see [[StringKernels]]):
+  *   canonicalize_url, task_id, main_domain, add_http_if_no_scheme,
+  *   lang_id, token_count, quality_score, simhash16, simhash64,
+  *   fingerprint64
   *
   * The knob arguments must be foldable literals — they parameterize codegen,
   * not per-row behavior (same contract as the Scala facade's Int/Boolean
@@ -29,7 +33,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     else throw new IllegalArgumentException(
       s"$what must be a foldable constant, got $e")
 
+  private def unary(ext: SparkSessionExtensions, name: String,
+                    cls: Class[_], mk: Expression => Expression): Unit =
+    ext.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo(cls.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name(s) takes 1 argument")
+        mk(args.head)
+      }))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the engine's scalar URL/text library (StringKernels) — SQL runs the
+    // SAME JIT-compiled functions the crawl hot path uses
+    unary(ext, "canonicalize_url", classOf[CanonicalizeUrl], CanonicalizeUrl)
+    unary(ext, "task_id", classOf[TaskIdMd5], TaskIdMd5)
+    unary(ext, "main_domain", classOf[MainDomain], MainDomain)
+    unary(ext, "add_http_if_no_scheme", classOf[AddHttpIfNoScheme], AddHttpIfNoScheme)
+    unary(ext, "lang_id", classOf[LangId], LangId)
+    unary(ext, "token_count", classOf[TokenCount], TokenCount)
+    unary(ext, "quality_score", classOf[QualityScore], QualityScore)
+    unary(ext, "simhash16", classOf[Simhash16], Simhash16)
+    unary(ext, "simhash64", classOf[Simhash64], Simhash64)
+    unary(ext, "fingerprint64", classOf[Fingerprint64], Fingerprint64)
+
     ext.injectFunction((FunctionIdentifier("dot_l"),
       new ExpressionInfo(classOf[DotProductL].getName, "dot_l"),
       (args: Seq[Expression]) => {

@@ -78,6 +78,55 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql === viaFacade)
   }
 
+  test("the scalar URL/text library from SQL equals the engine functions") {
+    import graft.url.UrlCanon
+    import graft.functions.TextStats
+    val url = "http://www.Site7.example/a b/p%2fq?q=a%20space&a=1&empty=#frag"
+    val text = "the cat and the hat is   on les mats"
+    // one row through every registered function, raw SQL
+    val r = ext.sql(
+      s"""SELECT canonicalize_url('$url') AS canon,
+         |  task_id('$url') AS tid,
+         |  main_domain('$url') AS dom,
+         |  add_http_if_no_scheme('site.example/x') AS sch,
+         |  lang_id('$text') AS lang,
+         |  token_count('$text') AS ntok,
+         |  quality_score('$text') AS q,
+         |  simhash16('$text') AS sh16,
+         |  simhash64('$text') AS sh64,
+         |  fingerprint64('$text') AS fp""".stripMargin).collect().head
+    assert(r.getString(0) === UrlCanon.canonicalize(url))
+    assert(r.getString(1) === UrlCanon.md5Hex(url))
+    assert(r.getString(2) === UrlCanon.mainDomain(url))
+    assert(r.getString(3) === UrlCanon.addHttpIfNoScheme("site.example/x"))
+    val st = TextStats.analyze(text)
+    assert(r.getString(4) === st.lang)
+    assert(r.getLong(5) === st.nTokens.toLong)
+    val q = r.getStruct(6)
+    assert(q.getLong(0) === st.nChars.toLong && q.getLong(1) === st.nTokens.toLong)
+    assert(q.getDouble(2) === st.stopRatio && q.getDouble(3) === st.avgWordLen)
+    assert(r.getLong(7) === st.simhash16.toLong)
+    assert(r.getLong(9) === TextStats.fingerprint(text))
+
+    // simhash64: the packed bits' 16-bit slices must equal the
+    // simhash64_bands gate aggregation (split(' ', -1) token stream,
+    // md5 hex-digit bit votes) computed via Spark built-ins
+    import org.apache.spark.sql.functions._
+    val sh64 = r.getLong(8)
+    val toks = ext.createDataFrame(Seq(Tuple1(text))).toDF("text")
+      .select(explode(split(col("text"), " ", -1)).as("tok"))
+    def vote(j: Int) = {
+      val c = substring(md5(col("tok")), j / 2 + 1, 1)
+      val bit = if (j % 2 == 0) c >= "8"
+        else c.isin("1", "3", "5", "7", "9", "b", "d", "f")
+      when(bit, 1).otherwise(-1)
+    }
+    val packed = (0 until 64).map(j =>
+      when(sum(vote(j)) > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    val expect64 = toks.agg(packed.as("s")).collect().head.getLong(0)
+    assert(sh64 === expect64, "simhash64 scalar != banded aggregation")
+  }
+
   test("non-foldable knob arguments are rejected") {
     val e = intercept[Exception] {
       ext.sql("SELECT hp_signed_sum(array(1), cast(rand() * 10 as bigint))")

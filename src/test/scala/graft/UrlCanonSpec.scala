@@ -169,4 +169,29 @@ class UrlCanonSpec extends AnyFunSuite {
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(500), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("native CanonicalizeUrl/TaskIdMd5 expressions match the Scala functions (hostile corpus)") {
+    // the r5 codegen'd kernels (StringKernels) must agree byte-for-byte
+    // with the direct Scala calls the typed crawl path makes — evaluated
+    // through a real Spark plan so the doGenCode path is what runs
+    val spark = SparkTestBase.spark
+    import org.apache.spark.sql.functions.col
+    val hostile = Seq(
+      "http://Example.COM:80/a b/%2F/../d+e?a=b=c&x=&y#f",
+      "HTTP://h.example.com:8080//double//slash?%zz=1",
+      "http://site0.example/中 文?我=1&empty=",
+      "example.com/no/scheme", "//proto.relative/x", "",
+      "http://example.com/%zz%20%2B+~x/A%3f?a=%20+%2B#a b")
+    val df = spark.createDataFrame(hostile.map(Tuple1(_))).toDF("u")
+      .select(col("u"),
+        org.apache.spark.sql.graft.StringKernels.canonicalizeUrl(col("u")).as("c"),
+        org.apache.spark.sql.graft.StringKernels.taskId(
+          org.apache.spark.sql.graft.StringKernels.canonicalizeUrl(col("u"))).as("t"))
+    df.collect().foreach { r =>
+      val u = r.getString(0)
+      val c = canonicalize(u)
+      assert(r.getString(1) === c, s"canonicalize_url($u)")
+      assert(r.getString(2) === md5Hex(c), s"task_id($u)")
+    }
+  }
 }
