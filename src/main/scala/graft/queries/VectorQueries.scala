@@ -465,57 +465,102 @@ object VectorQueries {
          |    CAST(row_number() OVER (PARTITION BY qid
          |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
          |  FROM scored) t WHERE rank <= $IVF_TOPK""".stripMargin)(
-      (s, dir) => {
-        val qn = quantized(s, dir).select(col("vec_id"), col("q"))
-          .withColumn("n2", dotCol("q", "q"))
-        val cand = qn.filter(col("vec_id") >= 10)
-        val qry = qn.filter(col("vec_id") < 10)
-        val k = ivfKFor(cand.count())
-        def cosC(dot: Column, a: Column, b: Column): Column =
-          dot.cast("double") / (sqrt(a.cast("double")) * sqrt(b.cast("double")))
-        // argmax by (cosine, lowest cid) via a PARTIAL-AGGREGATED max over
-        // an ordering struct — map-side combine, no global window over the
-        // n×K assignment rows (the 10^9-row shape)
-        def assign(to: DataFrame): DataFrame =
-          cand.crossJoin(to)
-            .withColumn("cos", cosC(dotCol("q", "c"), col("n2"), col("cn2")))
-            .groupBy(col("vec_id"))
-            .agg(max(struct(col("cos"), (-col("cid")).as("nc"), col("cid")))
-              .as("w"))
-            .select(col("vec_id"), col("w.cid").as("cid"))
-        val c0 = broadcast(cand.filter(col("vec_id") < 10 + k)
-          .select(col("vec_id").as("cid"), col("q").as("c"), col("n2").as("cn2")))
-        val a0 = assign(c0)
-        // one Lloyd step in exact integers: refined centroid = per-dim SUM
-        // of members (cosine is scale-invariant, so sum ≡ mean)
-        val c1 = broadcast(cand.join(a0, "vec_id")
-          .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
-          .groupBy("cid", "pos").agg(sum("x").as("s"))
-          .groupBy("cid")
-          .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
-          .select(col("cid"), expr("transform(ps, p -> p.s)").as("c"))
-          .withColumn("cn2", dotCol("c", "c")))
-        val a1 = assign(c1)
-        val probe = qry.crossJoin(c1)
-          .withColumn("cos", cosC(dotCol("q", "c"), col("n2"), col("cn2")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))))
-          .filter(col("rn") <= IVF_NPROBE)
-          .select(col("vec_id").as("qid"), col("cid"))
-        val hits = probe
-          .join(a1.withColumnRenamed("vec_id", "cand_id"), "cid")
-          .select("qid", "cand_id")
-        hits
-          .join(qry.select(col("vec_id").as("qid"), col("q").as("qa"),
-            col("n2").as("qa2")), "qid")
-          .join(cand.select(col("vec_id").as("cand_id"), col("q").as("qb"),
-            col("n2").as("qb2")), "cand_id")
-          .withColumn("cosine", cosC(dotCol("qa", "qb"), col("qa2"), col("qb2")))
-          .withColumn("rank", row_number().over(
-            Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id")))
-            .cast("long"))
-          .filter(col("rank") <= IVF_TOPK)
-          .select(col("qid"), col("cand_id").as("vec_id"), col("rank"), col("cosine"))
-      })
+      (s, dir) => annIvf(s, dir))
   )
+
+  // ---- IVF machinery, shared by the gate, the offline trainer
+  // (tools/IvfTrain) and the persisted-centroid production path -----------
+
+  private def cosC(dot: Column, a: Column, b: Column): Column =
+    dot.cast("double") / (sqrt(a.cast("double")) * sqrt(b.cast("double")))
+
+  /** argmax by (cosine, lowest cid) via a PARTIAL-AGGREGATED max over an
+    * ordering struct — map-side combine, no global window over the n×K
+    * assignment rows (the 10^9-row shape). `cents`: (cid, c, cn2),
+    * broadcast-sized. Returns (vec_id, cid). */
+  def ivfAssign(cand: DataFrame, cents: DataFrame): DataFrame =
+    cand.crossJoin(cents)
+      .withColumn("cos", cosC(dotCol("q", "c"), col("n2"), col("cn2")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("nc"), col("cid")))
+        .as("w"))
+      .select(col("vec_id"), col("w.cid").as("cid"))
+
+  /** One Lloyd step in exact integers: refined centroid = per-dim SUM of
+    * members (cosine is scale-invariant, so sum ≡ mean; integer sums are
+    * order-independent, so the result is bit-deterministic at any
+    * parallelism). Lists that lost every member drop out — deterministic,
+    * matched by the local trainer twin. */
+  def ivfLloyd(cand: DataFrame, asg: DataFrame): DataFrame =
+    cand.join(asg, "vec_id")
+      .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos").agg(sum("x").as("s"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(col("cid"), expr("transform(ps, p -> p.s)").as("c"))
+      .withColumn("cn2", dotCol("c", "c"))
+
+  /** Deterministic k-means: first-k seeding (by vec_id), `iters` exact
+    * integer Lloyd steps. iters=1 is the in-query gate quantizer;
+    * production trains offline with more (tools/IvfTrain). */
+  def ivfTrain(cand: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = broadcast(cand.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("q").as("c"), col("n2").as("cn2")))
+    var i = 0
+    while (i < iters) {
+      cents = broadcast(ivfLloyd(cand, ivfAssign(cand, cents)))
+      i += 1
+    }
+    cents
+  }
+
+  /** NPROBE-pruned exact search: queries probe their nprobe best lists and
+    * score exact cosine only inside them. */
+  def ivfSearch(qry: DataFrame, cand: DataFrame, cents: DataFrame,
+                nprobe: Int, topk: Int): DataFrame = {
+    val asg = ivfAssign(cand, cents)
+    val probe = qry.crossJoin(cents)
+      .withColumn("cos", cosC(dotCol("q", "c"), col("n2"), col("cn2")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val hits = probe
+      .join(asg.withColumnRenamed("vec_id", "cand_id"), "cid")
+      .select("qid", "cand_id")
+    hits
+      .join(qry.select(col("vec_id").as("qid"), col("q").as("qa"),
+        col("n2").as("qa2")), "qid")
+      .join(cand.select(col("vec_id").as("cand_id"), col("q").as("qb"),
+        col("n2").as("qb2")), "cand_id")
+      .withColumn("cosine", cosC(dotCol("qa", "qb"), col("qa2"), col("qb2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id")))
+        .cast("long"))
+      .filter(col("rank") <= topk)
+      .select(col("qid"), col("cand_id").as("vec_id"), col("rank"), col("cosine"))
+  }
+
+  /** The quantized query/corpus split of the ann protocol. */
+  def ivfInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val qn = quantized(s, dir).select(col("vec_id"), col("q"))
+      .withColumn("n2", dotCol("q", "q"))
+    (qn.filter(col("vec_id") < 10), qn.filter(col("vec_id") >= 10))
+  }
+
+  /** IVF-flat ANN. With `centroidsDir` set (and existing) the quantizer is
+    * the PERSISTED table trained offline by `tools/IvfTrain` — the
+    * production shape (train once, broadcast everywhere); otherwise the
+    * deterministic in-query 1-step quantizer the DuckDB oracle replays. */
+  def annIvf(s: SparkSession, dir: String, centroidsDir: Option[String] = None,
+             nprobe: Int = IVF_NPROBE, topk: Int = IVF_TOPK): DataFrame = {
+    val (qry, cand) = ivfInputs(s, dir)
+    val cents = centroidsDir
+      .filter(d => new java.io.File(d).exists()) match {
+        case Some(d) => broadcast(s.read.parquet(d)
+          .select(col("cid"), col("c"), col("cn2")))
+        case None => ivfTrain(cand, ivfKFor(cand.count()), iters = 1)
+      }
+    ivfSearch(qry, cand, cents, nprobe, topk)
+  }
 }

@@ -83,10 +83,45 @@ object AnnRecall {
     (members ++ bg).toArray
   }
 
+  /** Driver-side twin of `VectorQueries.ivfTrain` (first-k-by-id seeding,
+    * exact integer Lloyd steps, empty lists drop) — bit-identical centroids
+    * to the distributed trainer (IvfTrainSpec pins the parity). */
+  def kmeansLocal(cands: Array[Vec], k: Int, iters: Int): Seq[(Long, Array[Long])] = {
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val sorted = cands.sortBy(_._1)
+    val norm: Map[Long, Double] =
+      sorted.map { case (id, v) => id -> math.sqrt(dot(v, v).toDouble) }.toMap
+    var cents: Seq[(Long, Array[Long])] = sorted.take(k).toSeq
+    var it = 0
+    while (it < iters) {
+      val cn = cents.map { case (c, v) => c -> math.sqrt(dot(v, v).toDouble) }.toMap
+      val asg = sorted.groupBy { case (id, v) =>
+        cents.map { case (c, cv) =>
+          (dot(v, cv).toDouble / (norm(id) * cn(c)), -c) }.max match {
+          case (_, nc) => -nc
+        }
+      }
+      cents = asg.toSeq.sortBy(_._1).map { case (c, ms) =>
+        val s = new Array[Long](ms.head._2.length)
+        ms.foreach { case (_, v) =>
+          var j = 0; while (j < v.length) { s(j) += v(j); j += 1 } }
+        (c, s)
+      }
+      it += 1
+    }
+    cents
+  }
+
   // ---- the measurement (pure, driver-side) ------------------------------
+  // ivfIters: 1 = the in-query gate quantizer; >1 = the offline-trained
+  // quantizer path (tools/IvfTrain)
   def measure(rows0: Array[Vec],
               lshBands: Seq[Int] = Seq(4, 8, 16),
-              ivfProbes: Seq[Int] = Seq(4, 8, 16)): Report = {
+              ivfProbes: Seq[Int] = Seq(4, 8, 16),
+              ivfIters: Int = 1): Report = {
     val rows = rows0.sortBy(_._1)
     val queries = rows.filter(_._1 < 100)
     val cands = rows.filter(_._1 >= 100)
@@ -147,32 +182,25 @@ object AnnRecall {
     }
     val lshSweep = lshBands.map(b => b -> lshAt(b))
 
-    // ---- IVF, gate parameters ------------------------------------------
+    // ---- IVF, gate parameters (quantizer depth = ivfIters) --------------
     val k = VectorQueries.ivfKFor(cands.length)
-    val c0 = cands.take(k).zipWithIndex.map { case ((_, v), i) => (i, v) }
-    def assign(cents: Seq[(Int, Array[Long])]): Map[Int, Seq[Vec]] = {
-      val cn = cents.map { case (i, v) => i -> math.sqrt(dot(v, v).toDouble) }.toMap
+    val cTrained = kmeansLocal(cands, k, ivfIters)
+    val aT: Map[Long, Seq[Vec]] = {
+      val cn = cTrained.map { case (c, v) => c -> math.sqrt(dot(v, v).toDouble) }.toMap
       cands.groupBy { c =>
-        cents.map { case (i, cv) =>
-          (dot(c._2, cv).toDouble / (norm(c._1) * cn(i)), -i) }.max match {
-          case (_, ni) => -ni
+        cTrained.map { case (ci, cv) =>
+          (dot(c._2, cv).toDouble / (norm(c._1) * cn(ci)), -ci) }.max match {
+          case (_, nc) => -nc
         }
-      }.map { case (i, ms) => i -> ms.toSeq }
+      }.map { case (ci, ms) => ci -> ms.toSeq }
     }
-    val a0 = assign(c0.toSeq)
-    val c1 = a0.map { case (i, ms) =>
-      val s = new Array[Long](ms.head._2.length)
-      ms.foreach { case (_, v) => var j = 0; while (j < v.length) { s(j) += v(j); j += 1 } }
-      (i, s)
-    }.toSeq
-    val a1 = assign(c1)
-    val c1n = c1.map { case (i, v) => i -> math.sqrt(dot(v, v).toDouble) }.toMap
+    val cTn = cTrained.map { case (c, v) => c -> math.sqrt(dot(v, v).toDouble) }.toMap
     def ivfAt(nprobe: Int): (Double, Double) = {
       val per = queries.map { q =>
-        val probed = c1.map { case (i, cv) =>
-          (dot(q._2, cv).toDouble / (norm(q._1) * c1n(i)), i) }
-          .sortBy { case (c, i) => (-c, i) }.take(nprobe).map(_._2)
-        val cs = probed.flatMap(i => a1.getOrElse(i, Nil))
+        val probed = cTrained.map { case (ci, cv) =>
+          (dot(q._2, cv).toDouble / (norm(q._1) * cTn(ci)), ci) }
+          .sortBy { case (c, ci) => (-c, ci) }.take(nprobe).map(_._2)
+        val cs = probed.flatMap(ci => aT.getOrElse(ci, Nil))
         val got = top10(q, cs)
         (got.intersect(exact(q._1)).size / 10.0, cs.length.toDouble / cands.length)
       }
@@ -186,9 +214,12 @@ object AnnRecall {
 
   def main(args: Array[String]): Unit = {
     val mode = if (args.contains("--clustered")) "clustered" else "uniform"
+    val trainedIters = 10
     if (mode == "clustered") {
       val rep = measure(clusteredFixture())
-      println(s"""{"fixture":"clustered",${rep.json.drop(1)}""")
+      println(s"""{"fixture":"clustered","ivf_iters":1,${rep.json.drop(1)}""")
+      val repT = measure(clusteredFixture(), ivfIters = trainedIters)
+      println(s"""{"fixture":"clustered","ivf_iters":$trainedIters,${repT.json.drop(1)}""")
       return
     }
     val dir = args.headOption.filterNot(_.startsWith("--"))
@@ -204,7 +235,9 @@ object AnnRecall {
           .as("q"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     val rep = measure(rows)
-    println(s"""{"fixture":"uniform",${rep.json.drop(1)}""")
+    println(s"""{"fixture":"uniform","ivf_iters":1,${rep.json.drop(1)}""")
+    val repT = measure(rows, ivfIters = trainedIters)
+    println(s"""{"fixture":"uniform","ivf_iters":$trainedIters,${repT.json.drop(1)}""")
     spark.stop()
   }
 }
