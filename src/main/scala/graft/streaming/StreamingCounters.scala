@@ -27,6 +27,19 @@ object StreamingCounters {
       .groupBy(window(col("ts"), "5 minutes", "60 seconds"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
 
+  /** G1 event-time AVERAGES, the streaming twin of the `g1_event_avg` gate:
+    * same watermarked sliding windows, carrying (count, exact µ-quantized
+    * integer sum) per the determinism protocol — the average is s/n,
+    * reconstructible bit-identically by any consumer, and the integer sum
+    * is order-independent so stream and batch agree exactly. */
+  def windowedAverages(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes", "60 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1000000).cast("long")).as("s"))
+
   case class EventIn(user_id: Long, event_id: Long, tsMicros: Long)
   case class SessionState(count: Long, lastTs: Long)
   case class SessionOut(user_id: Long, events: Long, closed: Boolean)
@@ -61,9 +74,10 @@ object StreamingCounters {
   /** Run a streaming query over a parquet directory via the file source and
     * drain it synchronously into a memory sink (hermetic local smoke). */
   def runFileStream(spark: SparkSession, dir: String, schema: StructType,
-                    name: String): StreamingQuery = {
+                    name: String,
+                    agg: DataFrame => DataFrame = windowedCounts): StreamingQuery = {
     val src = spark.readStream.schema(schema).parquet(dir)
-    windowedCounts(src).writeStream
+    agg(src).writeStream
       .outputMode(OutputMode.Append) // watermark lets append emit closed windows
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())

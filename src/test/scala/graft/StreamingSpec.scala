@@ -38,6 +38,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() === 0)
   }
 
+  test("streaming windowed averages == batch (quantized-integer protocol)") {
+    val batchDf = spark.read.parquet(s"$dir/events.parquet")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_avg")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = StreamingCounters.runFileStream(
+      spark, streamDir.toString, batchDf.schema, "stream_g1_avg",
+      StreamingCounters.windowedAverages)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_g1_avg")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("s"))
+    val batch = StreamingCounters.windowedAverages(batchDf)
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("s"))
+    assert(streamed.count() > 0)
+    // exact (integer sums are order-independent): every emitted window row
+    // equals the batch aggregation of the same data
+    assert(streamed.except(batch).count() === 0)
+  }
+
   test("keyed custom state (mapGroupsWithState) sessionizes per user") {
     val events = spark.read.parquet(s"$dir/events.parquet")
     val out = StreamingCounters.sessionized(spark, events).collect()
