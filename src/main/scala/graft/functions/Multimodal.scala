@@ -206,7 +206,9 @@ object Multimodal {
   }
 
   def synthWavParams(d: Long): (Int, Int, Int) = // (sampleRate, channels, pcmFrames)
-    (8000 + (d % 5).toInt * 4000, 1 + (d % 2).toInt, 100 + (d % 400).toInt)
+    // rate keys off d/5 so it still varies now that the format round-robin
+    // is mod 5 (wav rows all have d%5==1)
+    (8000 + ((d / 5) % 5).toInt * 4000, 1 + (d % 2).toInt, 100 + (d % 400).toInt)
 
   /** A real PCM WAV: canonical 44-byte header + deterministic 16-bit data
     * (data byte j = (d*3 + j*7) % 256). */
@@ -228,10 +230,13 @@ object Multimodal {
     out
   }
 
-  /** The gate fixture: png / wav / raw-text payload round-robin by doc_id. */
-  def synthPayload(d: Long, text: String): Array[Byte] = (d % 3) match {
+  /** The gate fixture: png / wav / raw-text / bmp / gif payload round-robin
+    * by doc_id — every JDK-decodable container appears under the gate. */
+  def synthPayload(d: Long, text: String): Array[Byte] = (d % 5) match {
     case 0 => synthImage(d, "png")
     case 1 => synthWav(d)
-    case _ => text.getBytes("UTF-8")
+    case 2 => text.getBytes("UTF-8")
+    case 3 => synthImage(d, "bmp")
+    case _ => synthImage(d, "gif")
   }
 }

@@ -8,9 +8,12 @@ import Q.table
 /** Multimodal-column gates over REAL decode (VERDICT r4 item 1).
   *
   * Fixture: a deterministic media payload per `documents` row —
-  * doc_id % 3 == 0 → a real PNG (ImageIO-encoded synthetic image),
+  * doc_id % 5 == 0 → a real PNG (ImageIO-encoded synthetic image),
   *           == 1 → a real 16-bit-PCM WAV,
-  *           == 2 → raw text bytes (undecodable control group).
+  *           == 2 → raw text bytes (undecodable control group),
+  *           == 3 → a real BMP, == 4 → a real GIF (every JDK-decodable
+  *                  container appears under the gate; all lossless for the
+  *                  palette-bounded fixture).
   * The Spark side runs the full encode → sniff → ImageIO-decode / RIFF-walk
   * path; the DuckDB oracle replays the GENERATOR's ground truth (dimensions,
   * pixel formula, PCM byte formula) in pure SQL arithmetic — so a decoder
@@ -41,17 +44,18 @@ object MultimodalQueries {
          |    CAST(SUM(CAST((${rgbSql("d.doc_id", "x.x", "y.y")}) AS BIGINT)
          |             * (y.y * ($PNG_W) + x.x + 1)) AS BIGINT) AS px_hash
          |  FROM d, range(0, 16) x(x), range(0, 14) y(y)
-         |  WHERE d.doc_id % 3 = 0 AND x.x < ($PNG_W) AND y.y < ($PNG_H)
+         |  WHERE d.doc_id % 5 IN (0, 3, 4) AND x.x < ($PNG_W) AND y.y < ($PNG_H)
          |  GROUP BY d.doc_id)
          | SELECT d.doc_id,
-         |  CASE d.doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'bin' END AS format,
-         |  CASE d.doc_id % 3
+         |  CASE d.doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'bin'
+         |    WHEN 3 THEN 'bmp' ELSE 'gif' END AS format,
+         |  CASE d.doc_id % 5
          |    WHEN 1 THEN CAST(44 + (100 + d.doc_id % 400) * (1 + d.doc_id % 2) * 2 AS BIGINT)
          |    WHEN 2 THEN CAST(strlen(d.text) AS BIGINT) END AS bytes,
-         |  CASE WHEN d.doc_id % 3 = 0 THEN $PNG_W END AS width,
-         |  CASE WHEN d.doc_id % 3 = 0 THEN $PNG_H END AS height,
-         |  CASE WHEN d.doc_id % 3 = 1 THEN CAST(
-         |    (100 + d.doc_id % 400) * 1000 // (8000 + (d.doc_id % 5) * 4000)
+         |  CASE WHEN d.doc_id % 5 IN (0, 3, 4) THEN $PNG_W END AS width,
+         |  CASE WHEN d.doc_id % 5 IN (0, 3, 4) THEN $PNG_H END AS height,
+         |  CASE WHEN d.doc_id % 5 = 1 THEN CAST(
+         |    (100 + d.doc_id % 400) * 1000 // (8000 + ((d.doc_id // 5) % 5) * 4000)
          |    AS BIGINT) END AS duration_ms,
          |  px.px_hash
          | FROM d LEFT JOIN px ON px.doc_id = d.doc_id""".stripMargin)(
@@ -63,8 +67,10 @@ object MultimodalQueries {
           .map { case (d, t) => Multimodal.MediaRow(d, Multimodal.synthPayload(d, t)) }
         Multimodal.decodeBatch(media, frames = 4)
           .select(col("doc_id"), col("meta.format").as("format"),
-            // png encoded size is real but not oracle-replayable — mask
-            when(col("meta.format") === "png", lit(null).cast("long"))
+            // image encoded sizes are real but not oracle-replayable
+            // (deflate/palette output length) — masked for the compare
+            when(col("meta.format").isin("png", "bmp", "gif"),
+              lit(null).cast("long"))
               .otherwise(col("meta.bytes")).as("bytes"),
             col("meta.width").as("width"), col("meta.height").as("height"),
             col("meta.durationMs").as("duration_ms"),
@@ -77,14 +83,14 @@ object MultimodalQueries {
     // the stub path (text octets aren't SQL-replayable).
     Q("mm_frame_sample",
       s"""WITH d AS (SELECT doc_id, text FROM documents),
-         | pngf AS (
+         | imgf AS (
          |  SELECT d.doc_id, CAST(SUM(
          |    ((x.x*31 + (($PNG_H) * i.i // 4)*17 + d.doc_id*7) % 256) +
          |    ((x.x*13 + (($PNG_H) * i.i // 4)*29 + d.doc_id*5) % 256) +
          |    ((x.x*7  + (($PNG_H) * i.i // 4)*11 + d.doc_id*3) % 256)
          |   ) AS BIGINT) AS fh
          |  FROM d, range(0, 16) x(x), range(0, 4) i(i)
-         |  WHERE d.doc_id % 3 = 0 AND x.x < ($PNG_W)
+         |  WHERE d.doc_id % 5 IN (0, 3, 4) AND x.x < ($PNG_W)
          |  GROUP BY d.doc_id),
          | wavf AS (
          |  SELECT d.doc_id, CAST(SUM(
@@ -92,13 +98,14 @@ object MultimodalQueries {
          |       * i.i // 4 + j.j) * 7) % 256
          |   ) AS BIGINT) AS fh
          |  FROM d, range(0, 4) i(i), range(0, 16) j(j)
-         |  WHERE d.doc_id % 3 = 1
+         |  WHERE d.doc_id % 5 = 1
          |  GROUP BY d.doc_id)
          | SELECT d.doc_id,
-         |  CASE d.doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'bin' END AS format,
-         |  CAST(CASE WHEN d.doc_id % 3 = 2 AND strlen(d.text) = 0 THEN 0 ELSE 4 END AS INTEGER) AS n_frames,
-         |  COALESCE(pngf.fh, wavf.fh) AS frames_hash
-         | FROM d LEFT JOIN pngf ON pngf.doc_id = d.doc_id
+         |  CASE d.doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'bin'
+         |    WHEN 3 THEN 'bmp' ELSE 'gif' END AS format,
+         |  CAST(CASE WHEN d.doc_id % 5 = 2 AND strlen(d.text) = 0 THEN 0 ELSE 4 END AS INTEGER) AS n_frames,
+         |  COALESCE(imgf.fh, wavf.fh) AS frames_hash
+         | FROM d LEFT JOIN imgf ON imgf.doc_id = d.doc_id
          |        LEFT JOIN wavf ON wavf.doc_id = d.doc_id""".stripMargin)(
       (s, dir) => {
         import s.implicits._
@@ -109,7 +116,7 @@ object MultimodalQueries {
         Multimodal.decodeBatch(media, frames = 4)
           .map { r =>
             val hash: Option[Long] = r.meta.format match {
-              case "png" | "wav" =>
+              case "png" | "bmp" | "gif" | "wav" =>
                 Some(r.frames.map(f => f.map(b => (b & 0xff).toLong).sum).sum)
               case _ => None
             }

@@ -106,10 +106,11 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.decodeBatch(media, frames = 4).collect()
     assert(out.length === 60)
     out.foreach { r =>
-      r.doc_id % 3 match {
-        case 0 =>
+      val imgFmt = Map(0L -> "png", 3L -> "bmp", 4L -> "gif")
+      r.doc_id % 5 match {
+        case m @ (0 | 3 | 4) =>
           val (w, h) = Multimodal.synthImageDims(r.doc_id)
-          assert(r.meta.format === "png" && r.meta.width === Some(w) &&
+          assert(r.meta.format === imgFmt(m) && r.meta.width === Some(w) &&
             r.meta.height === Some(h) && r.meta.pxHash.isDefined)
         case 1 =>
           assert(r.meta.format === "wav" && r.meta.durationMs.isDefined)
