@@ -162,7 +162,10 @@ object HtmlLite extends Serializable {
     * is invisible to ANY static HTML parse (lxml ignores comments, and so
     * does `extractLinks`), exactly like un-executed script output; a js-typed
     * fetch "executes" by unwrapping the comment into live DOM. CLEARLY A
-    * STUB: no real js engine runs in this container. */
+    * STUB: no real js engine runs in this container — re-verified r5
+    * (`ScriptEngineManager` on this JDK 17 lists ZERO factories; Nashorn
+    * was removed in JDK 15 and no Graal/Rhino jar ships in /opt/spark/jars
+    * — unlike the r4 multimodal claim, which ImageIO falsified). */
   def renderJs(html: String): String =
     JsDom.replaceAllIn(html,
       m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
