@@ -100,6 +100,17 @@ object Soak {
     var prev = 0
     for (seg <- segments) {
       val engine = mkEngine() // fresh JVM-state engine == resume-from-kill
+      if (prev > 0) {
+        // O14 under soak (r5): each resume force-restarts archived SUCCESS
+        // tasks (the operator's "re-crawl these now" action; Failed would be
+        // empty here — the 599 ladder's hour-scale logical backoff outlives
+        // this run) as control candidates, so control packs
+        // ($root/control/round=N — the r5 expiry-fix path) churn and the
+        // bounded-file-growth claim covers them too
+        val injected = engine.restartByStatus("soak",
+          Set(graft.model.Status.Success, graft.model.Status.Failed))
+        System.err.println(s"[soak] O14 restart at segment $prev: $injected control tasks")
+      }
       val stats = engine.crawl(seeds, maxRounds = seg)
       walls ++= stats.map(st => (st.round.toInt, st.wallSec, st.selected))
       seenAtKill :+= engine.seenUrls().count()
@@ -143,6 +154,8 @@ object Soak {
       s""""metrics_gapless":$gapless,"seen_urls":$seen,"corpus_urls":$corpusUrls,""" +
       s""""seen_at_kill_points":[${seenAtKill.mkString(",")}],""" +
       s""""seen_nondecreasing_across_kills":$seenMonotone,""" +
+      s""""control_dirs_remaining":${
+        Option(new java.io.File(s"$ckpt/control").listFiles()).map(_.length).getOrElse(0)},""" +
       s""""files":[${fileLog.mkString(",")}]}""")
     def rmRf(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
