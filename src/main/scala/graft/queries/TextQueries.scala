@@ -11,6 +11,58 @@ import Q.table
   * of exact integers so no float-summation-order hazard exists. */
 object TextQueries {
 
+  // r6: the dedup-signature gates run as SINGLE-PASS native kernels
+  // (org.apache.spark.sql.graft.StringKernels.{fingerprintShingle,
+  // minhashBands, simhash16Md5, simhash64}) instead of
+  // explode → Exchange → HashAggregate. doc_id is unique in `documents`, so
+  // the per-doc aggregation never merged rows across tasks — the old plans
+  // shuffled |text|/4 shingle rows (or one row per token) per document just
+  // to fold them straight back to one row. The kernels compute the identical
+  // md5-derived values in one codegen'd pass over the scan (guide §2.4
+  // "remove shuffles outright", §4.1 "prefer JVM expressions"), proven
+  // equal to the aggregation form by TextKernelParitySpec and by the DuckDB
+  // oracle (whose SQL is unchanged).
+  private val SK = org.apache.spark.sql.graft.StringKernels
+
+  /** Scale guard for the banded candidate joins (VERDICT r5 items 1-2):
+    * expected-cap deterministic hash sample per band bucket. A (band,value)
+    * group with cnt > cap keeps only rows whose LCG hash mod cnt lands
+    * under cap, so one hot bucket (web boilerplate: identical band
+    * signatures) emits ≤ ~cap²/2 candidate pairs instead of cnt²/2 — the
+    * same machinery as VectorQueries.hpSampleKeep one package over. The cap
+    * is INACTIVE at every driver fixture (max measured occupancy: 268 of
+    * 65,536 sh64 buckets at sf0.1, 51 per minhash band group — both
+    * < 512), so gate results are bit-identical to the frozen capless
+    * oracle; at 10⁹ rows it bounds the one plan shape the r5 audit flagged
+    * as quadratic. */
+  private[graft] val BAND_CAP = 512L
+
+  private def bandSampleKeep(id: org.apache.spark.sql.Column,
+      bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = (lit(1103515245L) *
+      ((id * 131L + pmod(hash(bucket).cast("long"), lit(1048576L))) % 1048576L)
+      + 12345L) % 2147483648L
+    col("cnt") <= BAND_CAP || h % col("cnt") < BAND_CAP
+  }
+
+  /** survivors of the expected-cap sample on one band column: narrow
+    * (doc_id, band) rows sized by one partial-aggregated groupBy, joined
+    * back on the band value (broadcast at gate scale, shuffle-hash at 10⁹
+    * where sizes is ~n/occupancy rows). */
+  private def cappedOnBand(sigs: org.apache.spark.sql.DataFrame, band: String,
+      keep: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val sizes = sigs.groupBy(band).agg(count(lit(1)).as("cnt"))
+    sigs.join(sizes, Seq(band))
+      .filter(bandSampleKeep(col(keep.head), col(band)))
+      .select((keep.map(col) :+ col(band)): _*)
+  }
+
+  /** test hook (TextKernelParitySpec): the cap machinery over an arbitrary
+    * (doc_id, band) frame */
+  private[graft] def cappedForTest(sigs: org.apache.spark.sql.DataFrame,
+      band: String): org.apache.spark.sql.DataFrame =
+    cappedOnBand(sigs, band, Seq("doc_id"))
+
   // char shingles: substr(text, i, 8) for i = 1, 5, 9, ... (step 4)
   private val SHINGLE_SQL =
     """shingles AS (
@@ -87,8 +139,9 @@ object TextQueries {
       s"""WITH $SHINGLE_SQL
          | SELECT doc_id, MIN(md5(sh)) AS fingerprint
          | FROM shingles GROUP BY doc_id""".stripMargin)(
-      (s, dir) => shinglesDF(s, dir).groupBy("doc_id")
-        .agg(min(md5(col("sh"))).as("fingerprint"))),
+      (s, dir) => table(s, dir, "documents")
+        .where(col("text").isNotNull) // explode dropped null-text rows; keep parity
+        .select(col("doc_id"), SK.fingerprintShingle(col("text")).as("fingerprint"))),
 
     // exact dedup: hash-groupBy on a normalization key
     Q("dedup_exact",
@@ -152,11 +205,11 @@ object TextQueries {
          |  md5(MIN(md5('1' || sh)) || MIN(md5('2' || sh))) AS band1,
          |  md5(MIN(md5('3' || sh)) || MIN(md5('4' || sh))) AS band2
          | FROM shingles GROUP BY doc_id""".stripMargin)(
-      (s, dir) => shinglesDF(s, dir).groupBy("doc_id")
-        .agg(md5(concat(min(md5(concat(lit("1"), col("sh")))),
-            min(md5(concat(lit("2"), col("sh")))))).as("band1"),
-          md5(concat(min(md5(concat(lit("3"), col("sh")))),
-            min(md5(concat(lit("4"), col("sh")))))).as("band2"))),
+      (s, dir) => table(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), SK.minhashBands(col("text")).as("mb"))
+        .select(col("doc_id"), col("mb.band1").as("band1"),
+          col("mb.band2").as("band2"))),
 
     // MinHash-LSH candidate pairs: same band1 OR same band2 bucket
     Q("minhash_lsh_pairs",
@@ -170,20 +223,25 @@ object TextQueries {
          | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          |   AND (a.band1 = b.band1 OR a.band2 = b.band2)""".stripMargin)(
       (s, dir) => {
-        val sigs = shinglesDF(s, dir).groupBy("doc_id")
-          .agg(md5(concat(min(md5(concat(lit("1"), col("sh")))),
-              min(md5(concat(lit("2"), col("sh")))))).as("band1"),
-            md5(concat(min(md5(concat(lit("3"), col("sh")))),
-              min(md5(concat(lit("4"), col("sh")))))).as("band2"))
-        val a = sigs.select(col("doc_id").as("id_a"),
-          col("band1").as("b1a"), col("band2").as("b2a"))
-        val b = sigs.select(col("doc_id").as("id_b"),
-          col("band1").as("b1b"), col("band2").as("b2b"))
+        val sigs = table(s, dir, "documents")
+          .where(col("text").isNotNull)
+          .select(col("doc_id"), SK.minhashBands(col("text")).as("mb"))
+          .select(col("doc_id"), col("mb.band1").as("band1"),
+            col("mb.band2").as("band2"))
         // two equi-joins unioned (a broadcastable hash join each), NOT an
-        // OR-join (which would force a nested-loop at scale)
-        val p1 = a.join(b, col("b1a") === col("b1b") && col("id_a") < col("id_b"))
-        val p2 = a.join(b, col("b2a") === col("b2b") && col("id_a") < col("id_b"))
-        p1.select("id_a", "id_b").union(p2.select("id_a", "id_b")).distinct()
+        // OR-join (which would force a nested-loop at scale). r6: each band
+        // leg is pre-capped by the expected-cap hash sample (BAND_CAP) so an
+        // identical-signature boilerplate group can never go quadratic;
+        // inactive at every driver fixture (max group 51 < 512).
+        val p = (1 to 2).map { i =>
+          val si = cappedOnBand(
+            sigs.select(col("doc_id"), col(s"band$i")), s"band$i", Seq("doc_id"))
+          val ai = si.select(col("doc_id").as("id_a"), col(s"band$i").as("ba"))
+          val bi = si.select(col("doc_id").as("id_b"), col(s"band$i").as("bb"))
+          ai.join(bi, col("ba") === col("bb") && col("id_a") < col("id_b"))
+            .select("id_a", "id_b")
+        }
+        p.reduce(_ union _).distinct()
       }),
 
     // SimHash (16-bit, md5-derived bit votes over tokens)
@@ -195,16 +253,9 @@ object TextQueries {
            | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
            |       FROM documents) t
            | GROUP BY doc_id""".stripMargin })(
-      (s, dir) => {
-        val toks = table(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
-        val bitCols = (0 until 16).map { j =>
-          when(sum(when(substring(md5(col("tok")), j + 1, 1) >= "8", 1)
-            .otherwise(-1)) > 0, "1").otherwise("0")
-        }
-        toks.groupBy("doc_id")
-          .agg(concat(bitCols: _*).as("simhash"))
-      }),
+      (s, dir) => table(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), SK.simhash16Md5(col("text")).as("simhash"))),
 
     // 64-bit SimHash as 4×16-bit BANDS (VERDICT r1: 16-bit simhash
     // saturates its 65k buckets on billions of docs; 64 bits + banded
@@ -228,20 +279,16 @@ object TextQueries {
            |       FROM documents) t
            | GROUP BY doc_id""".stripMargin })(
       (s, dir) => {
-        val toks = table(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
-        def vote(j: Int) = {
-          val c = substring(md5(col("tok")), j / 2 + 1, 1)
-          val bit = if (j % 2 == 0) c >= "8"
-            else c.isin("1", "3", "5", "7", "9", "b", "d", "f")
-          when(bit, 1).otherwise(-1)
-        }
-        val bands = (0 until 4).map { b =>
-          (0 until 16).map { i =>
-            when(sum(vote(b * 16 + i)) > 0, lit(1L << i)).otherwise(0L)
-          }.reduce(_ + _).cast("long").as(s"band$b")
-        }
-        toks.groupBy("doc_id").agg(bands.head, bands.tail: _*)
+        // two-step select: `sim` is referenced by all four band slices, and
+        // CollapseProject keeps non-cheap multi-referenced expressions in
+        // their own Project — the kernel runs ONCE per row
+        val sim = table(s, dir, "documents")
+          .where(col("text").isNotNull)
+          .select(col("doc_id"), SK.simhash64(col("text")).as("sim"))
+        sim.select(col("doc_id") +: (0 until 4).map { b =>
+          shiftrightunsigned(col("sim"), 16 * b).bitwiseAND(lit(65535L))
+            .as(s"band$b")
+        }: _*)
       }),
 
     // banded Hamming near-dup over the 64-bit simhash: candidates share at
@@ -273,26 +320,33 @@ object TextQueries {
            |   FROM cand JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
            | SELECT id_a, id_b, hamming FROM h WHERE hamming <= 12""".stripMargin })(
       (s, dir) => {
-        val toks = table(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
-        def vote(j: Int) = {
-          val c = substring(md5(col("tok")), j / 2 + 1, 1)
-          val bit = if (j % 2 == 0) c >= "8"
-            else c.isin("1", "3", "5", "7", "9", "b", "d", "f")
-          when(bit, 1).otherwise(-1)
-        }
-        val bandCols = (0 until 4).map { b =>
-          (0 until 16).map { i =>
-            when(sum(vote(b * 16 + i)) > 0, lit(1L << i)).otherwise(0L)
-          }.reduce(_ + _).cast("long").as(s"band$b")
-        }
-        val sigs = toks.groupBy("doc_id").agg(bandCols.head, bandCols.tail: _*)
+        val sim = table(s, dir, "documents")
+          .where(col("text").isNotNull)
+          .select(col("doc_id"), SK.simhash64(col("text")).as("sim"))
+        val sigs = sim.select(col("doc_id") +: (0 until 4).map { b =>
+          shiftrightunsigned(col("sim"), 16 * b).bitwiseAND(lit(65535L))
+            .as(s"band$b")
+        }: _*)
+        // r6 scale guard (VERDICT r5 item 1): each band leg runs the
+        // expected-cap hash sample before the equi-join — at 10⁹ docs every
+        // fixed 16-bit bucket holds ~15k docs and the capless join emitted
+        // ~10¹³ pairs; with the cap a bucket emits ≤ ~cap²/2. Inactive at
+        // every driver fixture (max occupancy 268 < 512), so the frozen
+        // capless oracle still matches bit-for-bit. Recall note: 4 exact
+        // bands guarantee a candidate only for Hamming ≤ 3 (pigeonhole);
+        // ≤ 12 was already best-effort, and the cap moves that explicit
+        // knob, not a guarantee.
+        val cand = (0 until 4).map { i =>
+            val si = cappedOnBand(
+              sigs.select(col("doc_id"), col(s"band$i")), s"band$i", Seq("doc_id"))
+            val ai = si.select(col("doc_id").as("id_a"), col(s"band$i").as("ba"))
+            val bi = si.select(col("doc_id").as("id_b"), col(s"band$i").as("bb"))
+            ai.join(bi, col("ba") === col("bb") && col("id_a") < col("id_b"))
+              .select("id_a", "id_b")
+          }
+          .reduce(_ union _).distinct()
         val a = sigs.toDF("id_a", "a0", "a1", "a2", "a3")
         val b = sigs.toDF("id_b", "c0", "c1", "c2", "c3")
-        val cand = (0 until 4).map(i =>
-            a.join(b, col(s"a$i") === col(s"c$i") && col("id_a") < col("id_b"))
-              .select("id_a", "id_b"))
-          .reduce(_ union _).distinct()
         val ham = (0 until 4).map(i =>
           expr(s"bit_count(a$i ^ c$i)")).reduce(_ + _).cast("long")
         cand
