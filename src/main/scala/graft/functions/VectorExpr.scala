@@ -17,4 +17,8 @@ object VectorExpr {
     * family — see `org.apache.spark.sql.graft.HpSigns`) */
   def hpSignedSum(q: Column, plane: Int): Column =
     VectorKernels.hpSignedSum(q, plane)
+
+  /** the determinism protocol's `floor(x*1000)` quantization as one
+    * codegen'd loop (replaces the CodegenFallback `transform` lambda) */
+  def quantizeMilli(a: Column): Column = VectorKernels.quantizeMilli(a)
 }

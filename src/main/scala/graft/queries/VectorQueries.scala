@@ -16,10 +16,14 @@ import Q.table
   * integers → bit-identical. */
 object VectorQueries {
 
-  /** quantized embedding as array<bigint> */
+  /** quantized embedding as array<bigint> — r6: one codegen'd kernel
+    * (`QuantizeMilli`) instead of the CodegenFallback `transform` lambda,
+    * which ran interpreted per element and split every vector query's
+    * scan-side whole-stage-codegen span (guide §4.1). Same arithmetic
+    * (Math.floor over the widened double), same values. */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings").select(col("vec_id"), col("label"),
-      expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000) as bigint))")
+      graft.functions.VectorExpr.quantizeMilli(col("embedding").cast("array<double>"))
         .as("q"))
 
   private val QUANT_SQL =
@@ -329,7 +333,7 @@ object VectorQueries {
         // join, not per candidate pair inside the join condition
         val b = table(s, dir, "embeddings").select(col("vec_id"),
           concat(bits: _*).as("bucket"),
-          expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000) as bigint))")
+          graft.functions.VectorExpr.quantizeMilli(col("embedding").cast("array<double>"))
             .as("q"))
           .withColumn("n2", dotCol("q", "q"))
         val a2 = b.select(col("vec_id").as("id_a"), col("bucket"), col("q").as("qa"),
@@ -474,17 +478,59 @@ object VectorQueries {
   private def cosC(dot: Column, a: Column, b: Column): Column =
     dot.cast("double") / (sqrt(a.cast("double")) * sqrt(b.cast("double")))
 
-  /** argmax by (cosine, lowest cid) via a PARTIAL-AGGREGATED max over an
-    * ordering struct — map-side combine, no global window over the n×K
-    * assignment rows (the 10^9-row shape). `cents`: (cid, c, cn2),
-    * broadcast-sized. Returns (vec_id, cid). */
-  def ivfAssign(cand: DataFrame, cents: DataFrame): DataFrame =
+  /** Materialize a broadcast-sized frame into a LocalRelation. Every
+    * DataFrame reference to the trained centroids re-expands the WHOLE
+    * training subtree into the consuming plan (the r5 ann_ivf physical plan
+    * was 116 operators with the Lloyd pipeline duplicated under the assign
+    * and probe legs, and re-executed per leg but for AQE stage reuse).
+    * Collecting ≤ K ≤ 65536 rows × 64 dims ≈ 33 MB moves exactly the bytes
+    * the existing `broadcast(cents)` already moved to the driver, runs
+    * training once, and keeps every downstream plan flat. */
+  private def localized(s: SparkSession, df: DataFrame): DataFrame =
+    s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  /** K at/above which assignment goes two-level (IMI-shaped, see
+    * [[org.apache.spark.sql.graft.IvfCodebook]]). Gate fixtures train
+    * K = √n ≤ ~71 — far below, so the driver-checked path is the flat
+    * argmax the DuckDB oracle replays; at K = 65536 the flat n·K term is
+    * ~6.5×10¹³ dots at n = 10⁹ and the coarse level cuts it ~100×. */
+  private[graft] val IVF_TWO_LEVEL_MIN_K = 4096
+  private[graft] val IVF_TWO_LEVEL_FANOUT = 4
+
+  /** argmax by (cosine, lowest cid). `cents`: (cid, c, cn2),
+    * broadcast-sized by construction. Returns (vec_id, cid).
+    * K < IVF_TWO_LEVEL_MIN_K (every gate fixture): the flat map-side
+    * partial-aggregated max — no window over n×K rows. Larger K: the
+    * two-level codebook assignment — one shuffle-free projection whose
+    * per-row cost is G + fanout·K/G dots instead of K (IvfTwoLevelSpec
+    * pins full-fanout == flat bit-parity and the pruned agreement). */
+  def ivfAssign(cand: DataFrame, cents: DataFrame): DataFrame = {
+    val rows = cents.select(col("cid"), col("c"), col("cn2")).collect()
+    if (rows.length < IVF_TWO_LEVEL_MIN_K) ivfAssignFlat(cand, cents)
+    else ivfAssignTwoLevel(cand, rows, IVF_TWO_LEVEL_FANOUT)
+  }
+
+  /** the flat n·K argmax (partial-aggregated max over an ordering struct —
+    * map-side combine, no global window over the n×K assignment rows) */
+  private[graft] def ivfAssignFlat(cand: DataFrame, cents: DataFrame): DataFrame =
     cand.crossJoin(cents)
       .withColumn("cos", cosC(dotCol("q", "c"), col("n2"), col("cn2")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cos"), (-col("cid")).as("nc"), col("cid")))
         .as("w"))
       .select(col("vec_id"), col("w.cid").as("cid"))
+
+  /** the two-level path: driver-built codebook, one map-side projection */
+  private[graft] def ivfAssignTwoLevel(cand: DataFrame,
+      rows: Array[org.apache.spark.sql.Row], fanout: Int): DataFrame = {
+    val collected = rows.map { r =>
+      (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2))
+    }
+    val cb = org.apache.spark.sql.graft.IvfCodebook.build(collected, fanout)
+    cand.select(col("vec_id"),
+      org.apache.spark.sql.graft.VectorKernels
+        .ivfTwoLevelAssign(col("q"), col("n2"), cb).as("cid"))
+  }
 
   /** One Lloyd step in exact integers: refined centroid = per-dim SUM of
     * members (cosine is scale-invariant, so sum ≡ mean; integer sums are
@@ -504,11 +550,17 @@ object VectorQueries {
     * integer Lloyd steps. iters=1 is the in-query gate quantizer;
     * production trains offline with more (tools/IvfTrain). */
   def ivfTrain(cand: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents = broadcast(cand.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cid"), col("q").as("c"), col("n2").as("cn2")))
+    // r6: each trained codebook is LOCALIZED (collected to a LocalRelation)
+    // before it fans out into the next iteration's assign leg and the
+    // search/probe legs — otherwise every reference re-expands (and, across
+    // separate actions, re-executes) the whole upstream training subtree;
+    // see `localized`. Same rows, broadcast-sized by construction.
+    val s = cand.sparkSession
+    var cents = broadcast(localized(s, cand.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("q").as("c"), col("n2").as("cn2"))))
     var i = 0
     while (i < iters) {
-      cents = broadcast(ivfLloyd(cand, ivfAssign(cand, cents)))
+      cents = broadcast(localized(s, ivfLloyd(cand, ivfAssign(cand, cents))))
       i += 1
     }
     cents
@@ -557,8 +609,8 @@ object VectorQueries {
     val (qry, cand) = ivfInputs(s, dir)
     val cents = centroidsDir
       .filter(d => new java.io.File(d).exists()) match {
-        case Some(d) => broadcast(s.read.parquet(d)
-          .select(col("cid"), col("c"), col("cn2")))
+        case Some(d) => broadcast(localized(s, s.read.parquet(d)
+          .select(col("cid"), col("c"), col("cn2"))))
         case None => ivfTrain(cand, ivfKFor(cand.count()), iters = 1)
       }
     ivfSearch(qry, cand, cents, nprobe, topk)
