@@ -72,16 +72,21 @@ object Multimodal {
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
 
   /** RIFF chunk walk → (fmt.byteRate, data offset, data length). Chunks are
-    * word-aligned (odd sizes pad one byte). */
+    * word-aligned (odd sizes pad one byte). The walk runs in LONG
+    * arithmetic (ADVICE r5 high): declared chunk sizes in [2^31, 2^32)
+    * made the old `sz.toInt` step negative-or-zero and an executor task
+    * decoding untrusted crawl bytes could spin forever; u32le ≥ 0 keeps
+    * the Long step ≥ 8, so the loop always terminates. */
   private def riffChunks(bytes: Array[Byte]): (Long, Int, Long) = {
     var byteRate = 0L; var dataOff = -1; var dataLen = -1L
-    var off = 12
+    var off = 12L
     while (off + 8 <= bytes.length) {
-      val id = new String(bytes, off, 4, "US-ASCII")
-      val sz = u32le(bytes, off + 4)
-      if (id == "fmt " && off + 8 + 12 <= bytes.length) byteRate = u32le(bytes, off + 8 + 8)
-      if (id == "data" && dataOff < 0) { dataOff = off + 8; dataLen = sz }
-      off += 8 + sz.toInt + (sz.toInt & 1)
+      val o = off.toInt
+      val id = new String(bytes, o, 4, "US-ASCII")
+      val sz = u32le(bytes, o + 4)
+      if (id == "fmt " && off + 8 + 12 <= bytes.length) byteRate = u32le(bytes, o + 8 + 8)
+      if (id == "data" && dataOff < 0) { dataOff = o + 8; dataLen = sz }
+      off += 8L + sz + (sz & 1L)
     }
     (byteRate, dataOff, dataLen)
   }
@@ -93,13 +98,24 @@ object Multimodal {
     else None
   }
 
+  // no disk-backed ImageIO cache on executors: the payloads are in-memory
+  // byte arrays and the cache path can itself throw (ADVICE r5 low)
+  ImageIO.setUseCache(false)
+
+  /** ImageIO.read that treats thrown decoder errors (IIOException on
+    * corrupt bytes, etc.) like the documented null return — the task
+    * degrades to the all-None meta instead of failing (ADVICE r5 low). */
+  private def readImage(bytes: Array[Byte]): BufferedImage =
+    try ImageIO.read(new ByteArrayInputStream(bytes))
+    catch { case scala.util.control.NonFatal(_) => null }
+
   /** REAL decode for png/bmp/gif (ImageIO) and wav (RIFF math); labeled
     * deterministic stub only for the codec-bound jpeg/mp4. */
   def decode(bytes: Array[Byte]): MediaMeta = {
     val n = bytes.length.toLong
     sniffFormat(bytes) match {
       case f @ ("png" | "bmp" | "gif") =>
-        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        val img = readImage(bytes)
         if (img == null) MediaMeta(f, n, None, None, None, None) // truncated/corrupt
         else MediaMeta(f, n, Some(img.getWidth), Some(img.getHeight), None, Some(pixelHash(img)))
       case "wav" =>
@@ -132,7 +148,7 @@ object Multimodal {
     if (bytes.isEmpty || k <= 0) return Nil
     sniffFormat(bytes) match {
       case "png" | "bmp" | "gif" =>
-        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        val img = readImage(bytes)
         if (img == null) sliceStub(bytes, k)
         else {
           val w = img.getWidth; val h = img.getHeight
@@ -151,7 +167,14 @@ object Multimodal {
           }
         }
       case "wav" =>
-        val (_, dataOff, dataLen) = riffChunks(bytes)
+        val (_, dataOff, declaredLen) = riffChunks(bytes)
+        // clamp to the REAL payload (ADVICE r5 medium): a truncated WAV
+        // whose data chunk declares more bytes than exist made `start`
+        // exceed the array and copyOfRange throw; for well-formed files
+        // (every fixture) the min() is a no-op
+        val dataLen =
+          if (dataOff < 0) -1L
+          else math.min(declaredLen, (bytes.length - dataOff).toLong)
         if (dataOff < 0 || dataLen <= 0) sliceStub(bytes, k)
         else (0 until k).map { i =>
           val start = dataOff + (dataLen * i / k).toInt

@@ -124,4 +124,35 @@ class MultimodalSpec extends AnyFunSuite {
       spark.createDataset(Seq(Multimodal.MediaRow(0L, Array.emptyByteArray))), 4).head()
     assert(empty.frames.isEmpty && empty.meta.bytes === 0L)
   }
+
+  test("malformed payloads degrade instead of hanging or crashing (ADVICE r5)") {
+    // 1. RIFF chunk with size in [2^31, 2^32): the old int-cast walk stepped
+    //    0 bytes and spun forever; the Long walk must terminate
+    val evil = new Array[Byte](64)
+    "RIFF".getBytes.copyToArray(evil, 0)
+    "WAVE".getBytes.copyToArray(evil, 8)
+    "junk".getBytes.copyToArray(evil, 12)
+    evil(16) = 0xf8.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte // chunk size 0xFFFFFFF8
+    val meta = Multimodal.decode(evil) // must return, quickly
+    assert(meta.format === "wav" && meta.durationMs.isEmpty)
+    assert(Multimodal.frameSample(evil, 4).nonEmpty) // sliceStub fallback
+
+    // 2. truncated WAV: data chunk declares more bytes than exist — sampling
+    //    must clamp to the real payload, not throw ArrayIndexOutOfBounds
+    val wav = Multimodal.synthWav(7L)
+    val truncated = java.util.Arrays.copyOfRange(wav, 0, 60) // 44B header + 16B
+    val frames = Multimodal.frameSample(truncated, 4)
+    assert(frames.length === 4)
+    frames.foreach(f => assert(f.length <= 16))
+
+    // 3. corrupt image bytes that make ImageIO THROW (not return null):
+    //    a PNG magic with garbage body must yield the all-None meta
+    val corrupt = new Array[Byte](32)
+    corrupt(0) = 0x89.toByte; corrupt(1) = 'P'; corrupt(2) = 'N'; corrupt(3) = 'G'
+    (4 until 32).foreach(i => corrupt(i) = (i * 37).toByte)
+    val m = Multimodal.decode(corrupt)
+    assert(m.format === "png" && m.width.isEmpty && m.pxHash.isEmpty)
+    assert(Multimodal.frameSample(corrupt, 3).length === 3) // stub fallback
+  }
 }
