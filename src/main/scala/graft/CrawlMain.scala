@@ -57,6 +57,11 @@ object CrawlMain {
       // re-planning was measured as pure overhead on it (BENCH/BASELINE.md)
       .config("spark.sql.adaptive.enabled",
         a.getOrElse("aqe", "false"))
+      // the engine's SQL function library (canonicalize_url, task_id,
+      // dot_l, format_date, …) registers in the engine's OWN entry point —
+      // not only for spark-submit users passing the extensions conf
+      // (VERDICT r5 item 5)
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .getOrCreate()
     implicit val s: SparkSession = spark
     import spark.implicits._

@@ -518,7 +518,13 @@ class CrawlEngine(corpus: Dataset[Page], cfg: EngineConfig)
     timed("bloom.init")(maybeInitBloom(n - 1))
     val cached = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
     def hook[T](d: Dataset[T]): Dataset[T] = {
-      val h = d.persist(StorageLevel.MEMORY_AND_DISK); cached += h; h
+      // idempotent: a plan already in the cache (hooked twice in one round,
+      // or matching a long-lived cache like the fetcher's corpus view) is
+      // returned as-is — re-persisting was a no-op that spammed the log
+      // with `CacheManager: Asked to cache already cached data` and hid
+      // real cache regressions (VERDICT r5 item 6)
+      if (d.storageLevel != StorageLevel.NONE) d
+      else { val h = d.persist(StorageLevel.MEMORY_AND_DISK); cached += h; h }
     }
 
     val live0 = store.readLive(n - 1)

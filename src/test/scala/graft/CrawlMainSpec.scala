@@ -68,4 +68,42 @@ class CrawlMainSpec extends AnyFunSuite {
     assert(seen2.forall(_.project == "pini"))
     assert(seen2.map(_.url).toSet.size >= 4)
   }
+
+  test("the engine session registers the SQL function library (VERDICT r5 item 5)") {
+    // in a fresh JVM CrawlMain.main's builder creates the session; here the
+    // shared test session is the default, so clear it for the duration —
+    // main's getOrCreate then builds a NEW session (over the same
+    // SparkContext) and the withExtensions call actually applies
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val dir = Files.createTempDirectory("graft_main_ext").toString
+      val urls = Seq("http://e.example/p/0", "http://e.example/p/1")
+      val pages = Seq(page(urls.head, urls.tail)) ++ urls.tail.map(page(_, Nil))
+      spark.createDataset(pages).write.parquet(s"$dir/corpus")
+      CrawlMain.main(Array(
+        "--corpus", s"$dir/corpus",
+        "--checkpoint", s"$dir/ckpt",
+        "--seeds", urls.head,
+        "--rounds", "2"))
+      val engineSession = SparkSession.getDefaultSession
+        .getOrElse(fail("CrawlMain left no session"))
+      val r = engineSession.sql(
+        """SELECT canonicalize_url('HTTP://Ex.ample/a/../b?b=2&a=1') AS u,
+          |       task_id('http://ex.ample/b?a=1&b=2') AS t,
+          |       dot_l(array(1L, 2L), array(3L, 4L)) AS d""".stripMargin)
+        .collect().head
+      assert(r.getString(0).startsWith("http://"))
+      assert(r.getString(1).length === 32)
+      assert(r.getLong(2) === 11L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
 }
