@@ -161,6 +161,17 @@ object Frontier {
     val d = projects.head
     def pp(f: ProjectConfig => Any, default: Any): Column =
       perProject(projects.map(c => c.name -> f(c)).toMap, default)
+    // decide depth-priority in SCALA when no project limits depth:
+    // `pp(_.depthLimit, …)` folds to lit(-1) then and `pDepthLimit =!= -1`
+    // built a trivially-true `-1 == -1` equals predicate Column warns
+    // about on every selection (VERDICT r5 item 6); the when() was dead
+    // in that configuration anyway
+    val anyDepthLimit =
+      d.depthLimit != -1 || projects.exists(_.depthLimit != -1)
+    def effPriority(pDepthLimit: Column): Column =
+      if (!anyDepthLimit) col("schedule.priority")
+      else when(pDepthLimit =!= -1, -col("depth"))
+        .otherwise(col("schedule.priority"))
     val measured = dueBound != Long.MaxValue
     val hostBinds = !(measured && math.min(hostBurst, hostRate * dt) >= dueBound)
     def projBinds(c: ProjectConfig): Boolean =
@@ -174,9 +185,7 @@ object Frontier {
       return (
         if (globalLoopLimit.toLong >= Int.MaxValue / 2) dueTasks
         else dueTasks // O2 priority still orders the global cap's top-K
-          .withColumn("eff_priority",
-            when(pp(_.depthLimit, d.depthLimit) =!= -1, -col("depth"))
-              .otherwise(col("schedule.priority")))
+          .withColumn("eff_priority", effPriority(pp(_.depthLimit, d.depthLimit)))
           .orderBy(selectOrder: _*).limit(globalLoopLimit)
           .drop("eff_priority"))
     }
@@ -207,8 +216,7 @@ object Frontier {
     val base = persistHook(dueTasks.select(
       col("project"), col("taskid"), col("host"),
       col("schedule.exetime").as("__exe"), col("seq"),
-      when(pDepthLimit =!= -1, -col("depth"))
-        .otherwise(col("schedule.priority")).as("eff_priority")))
+      effPriority(pDepthLimit).as("eff_priority")))
     val baseCols = base.columns.toSeq
 
     // SKEW DEFUSE + SHUFFLE KILL (SURVEY §4): a plain rank window
