@@ -611,7 +611,13 @@ object VectorQueries {
       .filter(d => new java.io.File(d).exists()) match {
         case Some(d) => broadcast(localized(s, s.read.parquet(d)
           .select(col("cid"), col("c"), col("cn2"))))
-        case None => ivfTrain(cand, ivfKFor(cand.count()), iters = 1)
+        case None =>
+          // K sizes from the candidate COUNT alone — count the pruned
+          // one-column scan, not the quantize+norm pipeline cand carries
+          // (same rows by construction: quantization/norms are 1:1)
+          val nCand = table(s, dir, "embeddings")
+            .filter(col("vec_id") >= 10).count()
+          ivfTrain(cand, ivfKFor(nCand), iters = 1)
       }
     ivfSearch(qry, cand, cents, nprobe, topk)
   }
