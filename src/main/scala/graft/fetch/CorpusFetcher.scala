@@ -109,13 +109,21 @@ class CorpusFetcher(corpus: Dataset[Page], maxRedirects: Int = 5,
     *    the same dir re-registers the layout without recomputing;
     *  - legacy (null): url-partitioned MEMORY_AND_DISK cache (kept for
     *    ad-hoc uses; not the 100-TB shape). */
+  /** persist unless an equivalent plan is already in the cache (two
+    * fetchers over the same corpus — common in tests — otherwise spam
+    * `CacheManager: Asked to cache already cached data`) */
+  private def persistOnce[T](d: Dataset[T],
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Dataset[T] =
+    if (d.storageLevel != org.apache.spark.storage.StorageLevel.NONE) d
+    else d.persist(level)
+
   @transient lazy val view: Dataset[Page] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     if (workDir == null) {
-      uniqueCorpus.repartition(nPart, col("url"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persistOnce(uniqueCorpus.repartition(nPart, col("url")))
     } else {
       val table = "graft_corpus_" +
         java.lang.Long.toHexString(workDir.hashCode.toLong & 0xffffffffL)
@@ -166,7 +174,8 @@ class CorpusFetcher(corpus: Dataset[Page], maxRedirects: Int = 5,
         (p.url, graft.url.UrlCanon.urljoin(p.url, t),
           if (ck.isEmpty) null else ck.mkString("; "))
       }
-    }.toDF("src", "dst", "ck").cache()
+    }.toDF("src", "dst", "ck")
+    persistOnce(hops)
     if (hops.isEmpty) { hops.unpersist(); None }
     else {
       var resolved = hops.withColumn("hops", lit(1)).withColumn("cks", col("ck"))
@@ -190,7 +199,7 @@ class CorpusFetcher(corpus: Dataset[Page], maxRedirects: Int = 5,
         .select(col("src").as("__rsrc"), col("dst").as("__rdst"),
           col("open").isNotNull.as("__rtoomany"),
           when(length(col("cks")) > 0, col("cks")).as("__rck"))
-        .cache()
+      persistOnce(finalMap)
       val nStubs = finalMap.count()
       hops.unpersist()
       Some((finalMap, nStubs))
